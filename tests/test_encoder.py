@@ -1,0 +1,127 @@
+"""Core encoder tests: shapes, input modes, dropout determinism, mask
+invariance (padding must not change valid-position outputs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uniter_tpu.config import tiny_config
+from uniter_tpu.models.encoder import UniterModel
+
+
+IMG_DIM = 32
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_config()
+    model = UniterModel(cfg, img_dim=IMG_DIM)
+    rng = jax.random.PRNGKey(0)
+    B, T, R = 2, 8, 4
+    batch = make_batch(B, T, R)
+    params = model.init(rng, **batch)["params"]
+    return model, params, cfg
+
+
+def make_batch(B, T, R, seed=0):
+    rng = np.random.RandomState(seed)
+    return dict(
+        input_ids=jnp.asarray(rng.randint(1, 500, (B, T)), jnp.int32),
+        position_ids=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)),
+        img_feat=jnp.asarray(rng.randn(B, R, IMG_DIM), jnp.float32),
+        img_pos_feat=jnp.asarray(rng.rand(B, R, 7), jnp.float32),
+        attn_mask=jnp.ones((B, T + R), jnp.int32),
+    )
+
+
+def test_joint_forward_shape(model_and_params):
+    model, params, cfg = model_and_params
+    batch = make_batch(2, 8, 4)
+    out = model.apply({"params": params}, **batch)
+    assert out.shape == (2, 12, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_txt_only_and_img_only(model_and_params):
+    model, params, cfg = model_and_params
+    batch = make_batch(2, 8, 4)
+    txt = model.apply(
+        {"params": params},
+        input_ids=batch["input_ids"],
+        position_ids=batch["position_ids"],
+        attn_mask=jnp.ones((2, 8), jnp.int32),
+    )
+    assert txt.shape == (2, 8, cfg.hidden_size)
+    img = model.apply(
+        {"params": params},
+        img_feat=batch["img_feat"],
+        img_pos_feat=batch["img_pos_feat"],
+        attn_mask=jnp.ones((2, 4), jnp.int32),
+    )
+    assert img.shape == (2, 4, cfg.hidden_size)
+
+
+def test_padding_invariance(model_and_params):
+    """Padding positions must not affect valid-position outputs: the static
+    bucket layout relies on this (replaces the reference's gather_index
+    compaction, model/model.py:321-334)."""
+    model, params, _ = model_and_params
+    B, T, R = 2, 8, 4
+    batch = make_batch(B, T, R)
+    out_full = model.apply({"params": params}, **batch)
+
+    # Pad txt by 3 junk tokens and img by 2 junk regions, mask them out.
+    rng = np.random.RandomState(99)
+    input_ids = jnp.concatenate(
+        [batch["input_ids"],
+         jnp.asarray(rng.randint(1, 500, (B, 3)), jnp.int32)], axis=1)
+    position_ids = jnp.broadcast_to(jnp.arange(T + 3, dtype=jnp.int32), (B, T + 3))
+    img_feat = jnp.concatenate(
+        [batch["img_feat"], jnp.asarray(rng.randn(B, 2, IMG_DIM), jnp.float32)],
+        axis=1)
+    img_pos_feat = jnp.concatenate(
+        [batch["img_pos_feat"], jnp.asarray(rng.rand(B, 2, 7), jnp.float32)],
+        axis=1)
+    attn_mask = jnp.concatenate(
+        [jnp.ones((B, T)), jnp.zeros((B, 3)), jnp.ones((B, R)),
+         jnp.zeros((B, 2))], axis=1).astype(jnp.int32)
+    out_pad = model.apply(
+        {"params": params}, input_ids=input_ids, position_ids=position_ids,
+        img_feat=img_feat, img_pos_feat=img_pos_feat, attn_mask=attn_mask)
+
+    np.testing.assert_allclose(
+        np.asarray(out_pad[:, :T]), np.asarray(out_full[:, :T]),
+        rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_pad[:, T + 3:T + 3 + R]), np.asarray(out_full[:, T:]),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_dropout_train_vs_eval(model_and_params):
+    model, params, _ = model_and_params
+    batch = make_batch(2, 8, 4)
+    out1 = model.apply({"params": params}, **batch, deterministic=True)
+    out2 = model.apply(
+        {"params": params}, **batch, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    out3 = model.apply(
+        {"params": params}, **batch, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out3))
+
+
+def test_mrm_mask_embedding(model_and_params):
+    """img_masks adds mask_embedding row 1 at masked region positions
+    (reference model/model.py:261-265)."""
+    model, params, _ = model_and_params
+    batch = make_batch(2, 8, 4)
+    masks = jnp.zeros((2, 4), bool).at[0, 1].set(True)
+    out_masked = model.apply({"params": params}, **batch, img_masks=masks)
+    out_plain = model.apply({"params": params}, **batch)
+    assert not np.allclose(np.asarray(out_masked), np.asarray(out_plain))
+    zero_masks = jnp.zeros((2, 4), bool)
+    out_zero = model.apply({"params": params}, **batch, img_masks=zero_masks)
+    np.testing.assert_allclose(
+        np.asarray(out_zero), np.asarray(out_plain), rtol=1e-6, atol=1e-6)

@@ -1,0 +1,111 @@
+"""Model configuration.
+
+Mirrors the hyperparameter surface of the reference's ``UniterConfig``
+(/root/reference/model/model.py:24-114, loaded from config/uniter-{base,large}.json)
+plus TPU-specific compute-policy knobs that have no reference equivalent
+(dtype policy, kernel implementation selection, remat).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+# Constants shared with the reference (utils/const.py:7-9).
+IMG_DIM = 2048
+IMG_LABEL_DIM = 1601
+
+
+@dataclasses.dataclass(frozen=True)
+class UniterConfig:
+    """BERT-style hyperparameters for the single-stream UNITER encoder."""
+
+    vocab_size: int = 28996
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+
+    # --- TPU-native additions (no reference equivalent) ---
+    # Compute dtype for the encoder ("bfloat16" on TPU, "float32" for parity
+    # testing). Params are always stored fp32, matching apex-O2's fp32 master
+    # weights (reference keeps fp16 compute / fp32 master).
+    dtype: str = "bfloat16"
+    # Attention implementation: "pallas" (fused TPU kernel) or "xla".
+    attention_impl: str = "xla"
+    # LayerNorm implementation: "pallas" or "xla". eps is pinned at 1e-12 to
+    # match apex FusedLayerNorm usage (reference model/model.py:229).
+    layer_norm_impl: str = "xla"
+    layer_norm_eps: float = 1e-12
+    # Rematerialize each encoder layer in the backward pass.
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **kw) -> "UniterConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any], **overrides) -> "UniterConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in d.items() if k in fields}
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def from_json_file(cls, path: str, **overrides) -> "UniterConfig":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f), **overrides)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json_string(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True) + "\n"
+
+
+def base_config(**overrides) -> UniterConfig:
+    """uniter-base: 12L/768H/12 heads (reference config/uniter-base.json)."""
+    return UniterConfig(**overrides)
+
+
+def large_config(**overrides) -> UniterConfig:
+    """uniter-large: 24L/1024H/16 heads (reference config/uniter-large.json)."""
+    kw = dict(
+        hidden_size=1024,
+        num_hidden_layers=24,
+        num_attention_heads=16,
+        intermediate_size=4096,
+    )
+    kw.update(overrides)
+    return UniterConfig(**kw)
+
+
+def tiny_config(**overrides) -> UniterConfig:
+    """A small config for tests."""
+    kw = dict(
+        vocab_size=512,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=64,
+        dtype="float32",
+    )
+    kw.update(overrides)
+    return UniterConfig(**kw)

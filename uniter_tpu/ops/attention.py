@@ -1,0 +1,218 @@
+"""Multi-head self-attention: XLA reference path + fused Pallas TPU kernel.
+
+Semantics follow the reference's BertSelfAttention (model/layer.py:75-101):
+scores = QK^T / sqrt(head_dim) + additive_bias; probs = softmax(scores);
+probs = dropout(probs); out = probs @ V. The additive bias is the
+``(1-mask) * -10000`` padding bias precomputed once per batch
+(model/model.py:342-345).
+
+TPU-first design notes:
+  * Sequences are short (<=512) and statically bucketed, so one (batch, head)
+    grid step holds the full S x S score matrix in VMEM — no flash-style
+    streaming needed; the win is fusing QK^T + bias + softmax + dropout + PV
+    into one kernel (one HBM round-trip for Q/K/V instead of four).
+  * Scores and softmax are computed in fp32 on the MXU
+    (preferred_element_type), inputs may be bf16.
+  * Dropout uses the on-core PRNG; the backward kernel replays the same seed
+    so the keep-mask never touches HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+# ---------------------------------------------------------------------------
+# XLA path (used on CPU and as autodiff reference)
+# ---------------------------------------------------------------------------
+
+
+def _mha_xla(q, k, v, bias, dropout_rate=0.0, dropout_rng=None):
+    """q, k, v: [B, S, H, D]; bias: [B, S_k] additive fp32."""
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale + bias[:, None, None, :].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _attn_probs(q_ref, k_ref, bias_ref, *, sm_scale):
+    q = q_ref[0]  # [S, D]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale + bias_ref[...].astype(jnp.float32)  # [S, S]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _dropout_bits(seed_ref, rate, shape):
+    b, h = pl.program_id(0), pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + h)
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(int(rate * (2**32)))
+    return pltpu.bitcast(bits, jnp.uint32) >= threshold  # keep-mask
+
+
+def _mha_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale, rate):
+    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)
+    if rate > 0.0:
+        keep = _dropout_bits(seed_ref, rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _mha_bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, rate
+):
+    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)  # [S, S] fp32
+    g = g_ref[0].astype(jnp.float32)  # [S, D]
+    v = v_ref[0].astype(jnp.float32)
+    if rate > 0.0:
+        keep = _dropout_bits(seed_ref, rate, p.shape)
+        pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+    else:
+        keep = None
+        pd = p
+    dv_ref[0] = jax.lax.dot_general(
+        pd, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [S, S]
+    if keep is not None:
+        dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax bwd
+    ds = ds * sm_scale
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _bhsd_spec(s, d):
+    return pl.BlockSpec((1, 1, s, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _bias_spec(s):
+    return pl.BlockSpec((1, s), lambda b, h: (b, 0), memory_space=pltpu.VMEM)
+
+
+def _mha_pallas_raw(q, k, v, bias, seed, rate):
+    """q,k,v: [B, H, S, D]; bias: [B, S]; seed: int32[1]."""
+    b, h, s, d = q.shape
+    kernel = functools.partial(
+        _mha_fwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h),
+        in_specs=[_bhsd_spec(s, d)] * 3 + [_bias_spec(s)],
+        out_specs=_bhsd_spec(s, d),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        grid_spec=grid_spec,
+    )(seed, q, k, v, bias)
+
+
+def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g):
+    b, h, s, d = q.shape
+    kernel = functools.partial(
+        _mha_bwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h),
+        in_specs=[_bhsd_spec(s, d)] * 3 + [_bias_spec(s), _bhsd_spec(s, d)],
+        out_specs=[_bhsd_spec(s, d)] * 3,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((b, h, s, d), q.dtype)] * 3,
+        grid_spec=grid_spec,
+    )(seed, q, k, v, bias, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _mha_pallas(q, k, v, bias, seed, rate):
+    return _mha_pallas_raw(q, k, v, bias, seed, rate)
+
+
+def _mha_pallas_fwd(q, k, v, bias, seed, rate):
+    return _mha_pallas_raw(q, k, v, bias, seed, rate), (q, k, v, bias, seed)
+
+
+def _mha_pallas_bwd(rate, res, g):
+    q, k, v, bias, seed = res
+    dq, dk, dv = _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g)
+    return dq, dk, dv, None, None
+
+
+_mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def multi_head_attention(
+    q,
+    k,
+    v,
+    bias,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    impl: str = "xla",
+):
+    """Fused MHA. q, k, v: [B, S, H, D]; bias: [B, S] additive (0 / -10000).
+
+    Returns [B, S, H, D].
+    """
+    if impl == "pallas" and pltpu is not None:
+        rate = float(dropout_rate) if dropout_rng is not None else 0.0
+        if rate > 0.0:
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        qt = jnp.transpose(q, (0, 2, 1, 3))
+        kt = jnp.transpose(k, (0, 2, 1, 3))
+        vt = jnp.transpose(v, (0, 2, 1, 3))
+        out = _mha_pallas(qt, kt, vt, bias.astype(jnp.float32), seed, rate)
+        return jnp.transpose(out, (0, 2, 1, 3))
+    return _mha_xla(q, k, v, bias, dropout_rate, dropout_rng)
