@@ -1,20 +1,28 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
-The driver's multi-chip dry-run uses the same mechanism; tests never need
-real TPU hardware (SURVEY.md §4 implication: mesh logic is unit-testable on
-a virtual CPU device mesh).
+The environment's sitecustomize imports jax and registers a TPU backend
+before pytest starts, so env vars alone are too late — we must override the
+platform through jax.config before any backend is initialized. Tests never
+need real TPU hardware (SURVEY.md §4: mesh logic is unit-testable on a
+virtual CPU device mesh; the driver's multi-chip dry-run uses the same
+mechanism).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache keeps repeat test runs fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,244 @@
+"""Checkpoint import: torch ``.pt`` state dicts -> flax param pytrees.
+
+Implements the reference's exact ``from_pretrained`` key-mapping contract
+(/root/reference/model/model.py:148-214):
+
+  * ``gamma``/``beta`` -> ``weight``/``bias`` rename (:166-176)
+  * ``bert.`` prefix stripping when the target has no ``bert`` submodule
+    (:196-199), plus the ``bert -> uniter`` rename of
+    scripts/convert_ckpt.py:1-13
+  * missing keys are left at fresh-init values; missing/unexpected keys are
+    reported, errors only on shape mismatch
+
+and the flax-side layout transforms:
+
+  * ``nn.Linear.weight`` [out, in] -> Dense ``kernel`` [in, out] (transpose)
+  * per-layer ``encoder.layer.{i}.*`` tensors -> scan-stacked ``[L, ...]``
+    arrays under ``encoder/layer/bert_layer/*``
+  * post-load surgeries (type-embedding widening, word-embedding widening,
+    rank-head init) used by task models (reference model/nlvr2.py:26-34,
+    model/vcr.py:32-50, model/itm.py:25-28).
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# flax path (relative to the UniterModel root) -> (torch key, kind)
+# kind: "linear_w" transpose, "raw" as-is.
+_STATIC_MAP = {
+    "embeddings/word_embeddings/embedding": ("embeddings.word_embeddings.weight", "raw"),
+    "embeddings/position_embeddings/embedding": ("embeddings.position_embeddings.weight", "raw"),
+    "embeddings/token_type_embeddings/embedding": ("embeddings.token_type_embeddings.weight", "raw"),
+    "embeddings/LayerNorm/weight": ("embeddings.LayerNorm.weight", "raw"),
+    "embeddings/LayerNorm/bias": ("embeddings.LayerNorm.bias", "raw"),
+    "img_embeddings/img_linear/kernel": ("img_embeddings.img_linear.weight", "linear_w"),
+    "img_embeddings/img_linear/bias": ("img_embeddings.img_linear.bias", "raw"),
+    "img_embeddings/img_layer_norm/weight": ("img_embeddings.img_layer_norm.weight", "raw"),
+    "img_embeddings/img_layer_norm/bias": ("img_embeddings.img_layer_norm.bias", "raw"),
+    "img_embeddings/pos_linear/kernel": ("img_embeddings.pos_linear.weight", "linear_w"),
+    "img_embeddings/pos_linear/bias": ("img_embeddings.pos_linear.bias", "raw"),
+    "img_embeddings/pos_layer_norm/weight": ("img_embeddings.pos_layer_norm.weight", "raw"),
+    "img_embeddings/pos_layer_norm/bias": ("img_embeddings.pos_layer_norm.bias", "raw"),
+    "img_embeddings/mask_embedding": ("img_embeddings.mask_embedding.weight", "raw"),
+    "img_embeddings/LayerNorm/weight": ("img_embeddings.LayerNorm.weight", "raw"),
+    "img_embeddings/LayerNorm/bias": ("img_embeddings.LayerNorm.bias", "raw"),
+    "pooler/dense/kernel": ("pooler.dense.weight", "linear_w"),
+    "pooler/dense/bias": ("pooler.dense.bias", "raw"),
+}
+
+# Per-layer tensors, to be stacked along axis 0 over layers.
+# flax subpath under encoder/layer/bert_layer -> (torch subkey, kind)
+_LAYER_MAP = {
+    "attention/query/kernel": ("attention.self.query.weight", "linear_w"),
+    "attention/query/bias": ("attention.self.query.bias", "raw"),
+    "attention/key/kernel": ("attention.self.key.weight", "linear_w"),
+    "attention/key/bias": ("attention.self.key.bias", "raw"),
+    "attention/value/kernel": ("attention.self.value.weight", "linear_w"),
+    "attention/value/bias": ("attention.self.value.bias", "raw"),
+    "attention/output_dense/kernel": ("attention.output.dense.weight", "linear_w"),
+    "attention/output_dense/bias": ("attention.output.dense.bias", "raw"),
+    "attention/output_LayerNorm/weight": ("attention.output.LayerNorm.weight", "raw"),
+    "attention/output_LayerNorm/bias": ("attention.output.LayerNorm.bias", "raw"),
+    "intermediate_dense/kernel": ("intermediate.dense.weight", "linear_w"),
+    "intermediate_dense/bias": ("intermediate.dense.bias", "raw"),
+    "output_dense/kernel": ("output.dense.weight", "linear_w"),
+    "output_dense/bias": ("output.dense.bias", "raw"),
+    "output_LayerNorm/weight": ("output.LayerNorm.weight", "raw"),
+    "output_LayerNorm/bias": ("output.LayerNorm.bias", "raw"),
+}
+
+
+def normalize_state_dict(state_dict: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """gamma/beta rename + bert./uniter. prefix stripping + numpy-ify.
+
+    Returns keys relative to the UniterModel root (i.e. ``embeddings.*``,
+    ``encoder.*``, ...) plus any task-head keys left as-is.
+    """
+    out = {}
+    for key, val in state_dict.items():
+        k = key.replace("gamma", "weight").replace("beta", "bias")
+        arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
+        out[k] = arr.astype(np.float32) if arr.dtype == np.float16 else arr
+    # The released checkpoints prefix the trunk with "uniter." (task models)
+    # or "bert." (converted BERT init, scripts/convert_ckpt.py).
+    for prefix in ("uniter.", "bert."):
+        if any(k.startswith(prefix) for k in out):
+            out = {
+                (k[len(prefix):] if k.startswith(prefix) else k): v
+                for k, v in out.items()
+            }
+            break
+    return out
+
+
+def _convert(arr: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "linear_w":
+        return np.ascontiguousarray(arr.T)
+    return arr
+
+
+def uniter_params_from_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    num_layers: int,
+) -> Tuple[Dict[str, Any], List[str], List[str]]:
+    """Build the UniterModel param subtree from a normalized state dict.
+
+    Returns (flat_params {path: array}, missing_keys, consumed_torch_keys).
+    """
+    flat: Dict[str, np.ndarray] = {}
+    missing: List[str] = []
+    consumed: List[str] = []
+
+    for path, (tkey, kind) in _STATIC_MAP.items():
+        if tkey in state_dict:
+            flat[path] = _convert(state_dict[tkey], kind)
+            consumed.append(tkey)
+        else:
+            missing.append(path)
+
+    for subpath, (tsub, kind) in _LAYER_MAP.items():
+        per_layer = []
+        ok = True
+        for i in range(num_layers):
+            tkey = f"encoder.layer.{i}.{tsub}"
+            if tkey not in state_dict:
+                ok = False
+                break
+            per_layer.append(_convert(state_dict[tkey], kind))
+            consumed.append(tkey)
+        if ok:
+            flat[f"encoder/layer/bert_layer/{subpath}"] = np.stack(per_layer)
+        else:
+            missing.append(f"encoder/layer/bert_layer/{subpath}")
+
+    return flat, missing, consumed
+
+
+def unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, arr in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+    return tree
+
+
+def flatten(tree: Dict[str, Any], prefix="") -> Dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten(v, path))
+        else:
+            out[path] = v
+    return out
+
+
+def merge_into_params(
+    init_params: Dict[str, Any],
+    loaded_flat: Dict[str, np.ndarray],
+    *,
+    prefix: str = "",
+    strict_shapes: bool = True,
+) -> Tuple[Dict[str, Any], List[str]]:
+    """Overlay loaded tensors onto an init param tree (fresh init fills gaps).
+
+    ``prefix`` positions the loaded subtree (e.g. "uniter" for task models
+    whose trunk lives under params['uniter']). Returns (params, filled_paths).
+    """
+    flat_init = flatten(init_params)
+    filled = []
+    for path, arr in loaded_flat.items():
+        full = f"{prefix}/{path}" if prefix else path
+        if full not in flat_init:
+            logger.info("checkpoint key not used by model: %s", full)
+            continue
+        want = flat_init[full].shape
+        if tuple(arr.shape) != tuple(want):
+            msg = f"shape mismatch for {full}: ckpt {arr.shape} vs model {want}"
+            if strict_shapes:
+                raise ValueError(msg)
+            logger.warning("%s — skipped", msg)
+            continue
+        flat_init[full] = jnp.asarray(arr, dtype=flat_init[full].dtype)
+        filled.append(full)
+    return unflatten({k: np.asarray(v) for k, v in flat_init.items()}), filled
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pt state dict (weights only) and normalize it."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd and all(
+        not hasattr(v, "numpy") for k, v in sd.items() if k != "state_dict"
+    ):
+        sd = sd["state_dict"]
+    return normalize_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# Post-load surgeries (reference §5 checkpoint bullet)
+# ---------------------------------------------------------------------------
+
+
+def widen_type_embedding(params, n_types: int, *, copy_row: int,
+                         rng: np.random.RandomState, init_std: float = 0.02,
+                         trunk: str = "uniter"):
+    """Widen token_type_embeddings to ``n_types`` rows.
+
+    Rows 0/1 are copied from the checkpoint; new rows are copied from
+    ``copy_row`` (NLVR2 copies row 1 -> row 2, nlvr2.py:29-33; VCR copies
+    row 0 -> rows 2,3, vcr.py:35-40).
+    """
+    node = params[trunk]["embeddings"]["token_type_embeddings"]
+    old = np.asarray(node["embedding"])
+    h = old.shape[1]
+    new = rng.normal(0.0, init_std, (n_types, h)).astype(old.dtype)
+    new[: old.shape[0]] = old
+    for i in range(old.shape[0], n_types):
+        new[i] = old[copy_row]
+    node["embedding"] = jnp.asarray(new)
+    return params
+
+
+def widen_word_embedding(params, n_special: int, *,
+                         rng: np.random.RandomState, init_std: float = 0.02,
+                         trunk: str = "uniter"):
+    """Append ``n_special`` freshly-initialized word rows (VCR +81 tokens,
+    reference model/vcr.py:43-50)."""
+    node = params[trunk]["embeddings"]["word_embeddings"]
+    old = np.asarray(node["embedding"])
+    extra = rng.normal(0.0, init_std, (n_special, old.shape[1])).astype(old.dtype)
+    node["embedding"] = jnp.asarray(np.concatenate([old, extra], axis=0))
+    return params

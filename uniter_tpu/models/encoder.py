@@ -310,6 +310,14 @@ class UniterModel(nn.Module):
     def encode(self, emb, attn_mask, deterministic=True):
         return self.encoder(emb, attn_bias(attn_mask), deterministic)
 
+    def init_all(self, input_ids, position_ids, img_feat, img_pos_feat,
+                 attn_mask, **kw):
+        """Init entry that touches every submodule (incl. the pooler, which
+        plain __call__ does not invoke)."""
+        seq = self(input_ids, position_ids, img_feat, img_pos_feat,
+                   attn_mask, **kw)
+        return seq, self.pooler(seq)
+
     def __call__(
         self,
         input_ids=None,
