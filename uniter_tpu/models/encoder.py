@@ -59,20 +59,33 @@ class LayerNorm(nn.Module):
 
 
 class Dense(nn.Module):
-    """Linear layer with fp32 params, computing in the input dtype."""
+    """Linear layer with fp32 params, computing in the input dtype.
+
+    ``in_features`` may be given explicitly (required when ``attend`` may be
+    the first method traced); otherwise it is taken from the first input.
+    """
 
     config: UniterConfig
     features: int
+    in_features: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param(
-            "kernel", _dense_init(self.config), (x.shape[-1], self.features),
-            jnp.float32,
+    def setup(self):
+        d_in = self.in_features or self.config.hidden_size
+        self.kernel = self.param(
+            "kernel", _dense_init(self.config), (d_in, self.features), jnp.float32
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+    def __call__(self, x):
         dtype = x.dtype
-        return jnp.dot(x, kernel.astype(dtype)) + bias.astype(dtype)
+        return jnp.dot(x, self.kernel.astype(dtype)) + self.bias.astype(dtype)
+
+    def attend(self, x):
+        """x @ kernel.T — weight tying against this layer's kernel (e.g. the
+        MRFR head reuses img_linear, reference model/pretrain.py:27-32)."""
+        return jnp.dot(x, self.kernel.T.astype(x.dtype))
 
 
 class Embed(nn.Module):
@@ -82,13 +95,20 @@ class Embed(nn.Module):
     num: int
     features: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, ids):
+    def setup(self):
         d = self.features or self.config.hidden_size
-        table = self.param(
+        self.embedding = self.param(
             "embedding", _dense_init(self.config), (self.num, d), jnp.float32
         )
-        return jnp.take(table, ids, axis=0).astype(self.config.compute_dtype)
+
+    def __call__(self, ids):
+        return jnp.take(self.embedding, ids, axis=0).astype(
+            self.config.compute_dtype
+        )
+
+    def attend(self, x):
+        """x @ table.T — tied-decoder logits (MLM head, model/layer.py:212-215)."""
+        return jnp.dot(x, self.embedding.T.astype(x.dtype))
 
 
 class UniterTextEmbeddings(nn.Module):
@@ -140,9 +160,9 @@ class UniterImageEmbeddings(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.img_linear = Dense(cfg, cfg.hidden_size, name="img_linear")
+        self.img_linear = Dense(cfg, cfg.hidden_size, in_features=self.img_dim, name="img_linear")
         self.img_layer_norm = LayerNorm(cfg, name="img_layer_norm")
-        self.pos_linear = Dense(cfg, cfg.hidden_size, name="pos_linear")
+        self.pos_linear = Dense(cfg, cfg.hidden_size, in_features=7, name="pos_linear")
         self.pos_layer_norm = LayerNorm(cfg, name="pos_layer_norm")
         self.mask_embedding = self.param(
             "mask_embedding", _dense_init(cfg), (2, self.img_dim), jnp.float32
@@ -223,7 +243,8 @@ class BertLayer(nn.Module):
         )
         inter = Dense(cfg, cfg.intermediate_size, name="intermediate_dense")(attn_out)
         inter = ACT2FN[cfg.hidden_act](inter)
-        out = Dense(cfg, cfg.hidden_size, name="output_dense")(inter)
+        out = Dense(cfg, cfg.hidden_size, in_features=cfg.intermediate_size,
+                    name="output_dense")(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=self.deterministic)
         out = LayerNorm(cfg, name="output_LayerNorm")(out + attn_out)
         return out
