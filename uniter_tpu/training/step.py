@@ -1,0 +1,117 @@
+"""Train-step factory: one jitted function per task family.
+
+Maps the reference's driver hot loop (train_nlvr2.py:150-219 — the canonical
+skeleton shared by every fine-tune driver) onto a single compiled program:
+
+  forward -> per-example loss -> reduction -> backward -> [accum scan] ->
+  grad-norm clip -> AdamW -> schedule
+
+TPU-native semantics:
+  * Data parallelism comes from sharding the batch over the mesh's ``data``
+    axis; XLA inserts the gradient reduction. The reference *sums* grads
+    across ranks of per-rank mean losses (utils/distributed.py:16-43,
+    rescale denom 1) — reproduced by scaling the global mean loss by the
+    data-axis size (``loss_scale="sum"``, the default, keeps published LRs
+    valid; "mean" gives size-invariant behavior).
+  * Gradient accumulation is a ``lax.scan`` over a leading [accum] axis on
+    the batch, summing micro-grads (the reference accumulates backward()
+    without dividing, train_nlvr2.py:159-170).
+  * Params/opt state fp32 (apex-O2 master weights); compute dtype comes
+    from the model config. No loss scaling — bf16 needs none.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def make_train_step(
+    loss_fn: Callable[[Any, Dict[str, Any], jax.Array], Tuple[jax.Array, Dict]],
+    *,
+    mesh=None,
+    loss_scale: str = "sum",
+    accum_steps: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    loss_fn(params, batch, rng) -> (scalar mean loss, metrics dict). The
+    factory multiplies by the data-axis size when loss_scale == "sum"
+    (reference grad-sum semantics) and drives accumulation.
+
+    Batch layout: [B, ...] when accum_steps == 1, else [accum, B, ...].
+    """
+    dp = mesh.shape["data"] if mesh is not None else 1
+    scale = float(dp) if loss_scale == "sum" else 1.0
+
+    def scaled_loss(params, batch, rng):
+        loss, metrics = loss_fn(params, batch, rng)
+        return loss * scale, metrics
+
+    grad_fn = jax.value_and_grad(scaled_loss, has_aux=True)
+
+    def step_fn(state: TrainState, batch, rng):
+        if accum_steps == 1:
+            (loss, metrics), grads = grad_fn(state.params, batch, rng)
+        else:
+            rngs = jax.random.split(rng, accum_steps)
+
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                mb, r = xs
+                (loss, metrics), grads = grad_fn(state.params, mb, r)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), metrics
+
+            zero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (grads, loss), metrics_stack = jax.lax.scan(
+                micro, (zero, jnp.zeros((), jnp.float32)), (batch, rngs)
+            )
+            loss = loss / accum_steps
+            metrics = jax.tree.map(lambda m: m[-1], metrics_stack)
+        new_state = state.apply_gradients(grads)
+        metrics = dict(metrics)
+        metrics["loss"] = loss / scale
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    # Sharding comes from the arguments: the loader device_puts batches with
+    # the data-axis NamedSharding and the state is placed at creation;
+    # jit propagates both and XLA inserts the gradient collectives.
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(predict_fn: Callable, mesh=None):
+    """Jitted inference step: predict_fn(params, batch) -> outputs."""
+    return jax.jit(predict_fn)
