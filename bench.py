@@ -1,0 +1,105 @@
+"""Benchmark: uniter-base fine-tune train-step throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes no throughput numbers (README.md:1-275;
+see BASELINE.md). The comparison point is the reference's own recipe
+hardware — fp16 apex-O2 fine-tuning on V100 (README.md:30-31). We use an
+estimated 170 examples/sec/V100 for the NLVR2-class workload (~53 GFLOP/ex
+at seq~104; 8% MFU of 112 fp16 TFLOPS — typical for apex BERT-base short-seq
+fine-tune). vs_baseline = measured_ex_per_sec_per_chip / 170.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+V100_BASELINE_EX_PER_SEC = 170.0
+
+# Workload: NLVR2-class fine-tune shapes — ~10k tokens per batch
+# (config/train-nlvr2-base-1gpu.json: 10240-token batches).
+B, T, R = 96, 64, 40
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from uniter_tpu.config import base_config
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.sched import get_lr_schedule
+    from uniter_tpu.training.step import TrainState, make_train_step
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    attention_impl = "pallas" if on_tpu else "xla"
+
+    def build(impl):
+        cfg = base_config(dtype="bfloat16", attention_impl=impl)
+        model = UniterForVisualQuestionAnswering(cfg, img_dim=2048)
+        rng = np.random.RandomState(0)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(1, 28000, (B, T)), jnp.int32),
+            position_ids=jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32), (B, T)),
+            img_feat=jnp.asarray(rng.randn(B, R, 2048).astype(np.float32)),
+            img_pos_feat=jnp.asarray(rng.rand(B, R, 7).astype(np.float32)),
+            attn_mask=jnp.ones((B, T + R), jnp.int32),
+            targets=jnp.asarray(
+                (rng.rand(B, 3129) < 0.003).astype(np.float32)),
+        )
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, False)["params"]
+        tx = build_optimizer(
+            params, get_lr_schedule(8e-5, 600, 6000), grad_norm=2.0,
+            weight_decay=0.01)
+        state = TrainState.create(params, tx)
+
+        def loss_fn(p, b, r):
+            per_elem = model.apply(
+                {"params": p}, b, True, deterministic=False,
+                rngs={"dropout": r})
+            return jnp.mean(per_elem) * 3129, {}
+
+        step = make_train_step(loss_fn, loss_scale="mean")
+        return state, batch, step
+
+    def run(impl):
+        state, batch, step = build(impl)
+        rng = jax.random.PRNGKey(1)
+        # warmup/compile. NOTE: block_until_ready does not synchronize on the
+        # remote-relay TPU backend — force a host readback to fence timing.
+        for _ in range(3):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+        assert np.isfinite(float(np.asarray(metrics["loss"])))
+        n_iters = 20
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+        _ = float(np.asarray(metrics["loss"]))  # fence
+        dt = time.perf_counter() - t0
+        return n_iters * B / dt
+
+    try:
+        ex_per_sec = run(attention_impl)
+    except Exception as e:  # pallas path unavailable -> XLA fallback
+        print(f"[bench] {attention_impl} failed ({e!r}); retrying xla",
+              file=sys.stderr)
+        attention_impl = "xla"
+        ex_per_sec = run("xla")
+
+    print(json.dumps({
+        "metric": "nlvr2_class_finetune_train_throughput",
+        "value": round(ex_per_sec, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(ex_per_sec / V100_BASELINE_EX_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

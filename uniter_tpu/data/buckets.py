@@ -1,0 +1,176 @@
+"""Static length-bucketed batching — the XLA-native replacement for the
+reference's TokenBucketSampler (data/sampler.py:16-61).
+
+The reference shuffles, sorts within 8192-example buckets, and packs batches
+to a token budget with per-batch max-length padding — a new tensor shape
+every batch, which would force an XLA recompile each step. Here every batch
+has one of a small, fixed set of shapes:
+
+  * txt length and region count are rounded up to bucket boundaries
+    (T in txt_buckets, R in img_buckets);
+  * each (T, R) bucket gets a fixed batch size derived from the token
+    budget, rounded to a multiple of ``size_mul`` (the reference's
+    tensor-core multiple-of-8 rule, sampler.py:31-57, maps to TPU 8-sublane
+    alignment);
+  * under-filled batches are padded with zero-weight rows (``ex_weight``).
+
+So at most |txt_buckets| x |img_buckets| programs are compiled, once, and
+reused for the whole run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    txt_buckets: Tuple[int, ...] = (32, 64, 96, 128)
+    img_buckets: Tuple[int, ...] = (20, 40, 64, 100)
+    token_budget: int = 10240  # reference train_batch_size in tokens
+    size_mul: int = 8
+    min_batch: int = 8
+
+    def txt_bucket(self, txt_len: int) -> int:
+        for b in self.txt_buckets:
+            if txt_len <= b:
+                return b
+        return self.txt_buckets[-1]
+
+    def img_bucket(self, nbb: int) -> int:
+        for b in self.img_buckets:
+            if nbb <= b:
+                return b
+        return self.img_buckets[-1]
+
+    def bucket_for(self, txt_len: int, nbb: int) -> Tuple[int, int]:
+        return self.txt_bucket(txt_len), self.img_bucket(nbb)
+
+    def batch_size(self, bucket: Tuple[int, int]) -> int:
+        t, r = bucket
+        b = self.token_budget // (t + r)
+        b = (b // self.size_mul) * self.size_mul
+        return max(b, self.min_batch)
+
+
+def pad_1d(arr, length, pad=0, dtype=None):
+    arr = np.asarray(arr)
+    out = np.full((length,), pad, dtype=dtype or arr.dtype)
+    out[: len(arr)] = arr[:length]
+    return out
+
+
+def pad_2d(arr, length, pad=0.0, dtype=None):
+    arr = np.asarray(arr)
+    out = np.full((length, arr.shape[1]), pad, dtype=dtype or arr.dtype)
+    out[: arr.shape[0]] = arr[:length]
+    return out
+
+
+# Field specs: key -> (segment, pad_value). Segment in
+# {"txt", "img", "none"} controls which bucket axis pads the field.
+FieldSpec = Dict[str, Tuple[str, float]]
+
+
+def collate_joint(
+    records: Sequence[dict],
+    t_bucket: int,
+    r_bucket: int,
+    batch_size: int,
+    fields: Optional[FieldSpec] = None,
+) -> Dict[str, np.ndarray]:
+    """Build the canonical fixed-shape batch dict from per-example records.
+
+    Each record: input_ids [t] (CLS..SEP), img_feat [r, D], img_pos_feat
+    [r, 7], plus task fields. Rows beyond len(records) are zero padding with
+    ex_weight 0.
+    """
+    n = len(records)
+    assert n <= batch_size
+    d = records[0]["img_feat"].shape[1] if records[0].get("img_feat") is not None else 0
+    batch = {
+        "input_ids": np.zeros((batch_size, t_bucket), np.int32),
+        "position_ids": np.broadcast_to(
+            np.arange(t_bucket, dtype=np.int32), (batch_size, t_bucket)
+        ).copy(),
+        "img_feat": np.zeros((batch_size, r_bucket, d), np.float32),
+        "img_pos_feat": np.zeros((batch_size, r_bucket, 7), np.float32),
+        "attn_mask": np.zeros((batch_size, t_bucket + r_bucket), np.int32),
+        "ex_weight": np.zeros((batch_size,), np.float32),
+        "txt_lens": np.zeros((batch_size,), np.int32),
+        "num_bbs": np.zeros((batch_size,), np.int32),
+    }
+    extra: Dict[str, List[np.ndarray]] = {k: [] for k in (fields or {})}
+    for i, rec in enumerate(records):
+        ids = np.asarray(rec["input_ids"], np.int32)
+        tl = min(len(ids), t_bucket)
+        batch["input_ids"][i, :tl] = ids[:tl]
+        feat = rec["img_feat"]
+        nbb = 0
+        if feat is not None:
+            nbb = min(feat.shape[0], r_bucket)
+            batch["img_feat"][i, :nbb] = feat[:nbb]
+            batch["img_pos_feat"][i, :nbb] = rec["img_pos_feat"][:nbb]
+        batch["attn_mask"][i, :tl] = 1
+        batch["attn_mask"][i, t_bucket:t_bucket + nbb] = 1
+        batch["ex_weight"][i] = 1.0
+        batch["txt_lens"][i] = tl
+        batch["num_bbs"][i] = nbb
+        for key in extra:
+            extra[key].append(rec.get(key))
+    for key, (segment, pad) in (fields or {}).items():
+        vals = extra[key]
+        ref = next((v for v in vals if v is not None), None)
+        if ref is None:
+            continue
+        ref = np.asarray(ref)
+        length = t_bucket if segment == "txt" else (
+            r_bucket if segment == "img" else None)
+        if length is None:  # per-example scalar/fixed-shape field
+            out = np.full((batch_size,) + ref.shape, pad, ref.dtype)
+            for i, v in enumerate(vals):
+                if v is not None:
+                    out[i] = v
+        elif ref.ndim == 1:
+            out = np.full((batch_size, length), pad, ref.dtype)
+            for i, v in enumerate(vals):
+                if v is not None:
+                    v = np.asarray(v)
+                    out[i, : min(len(v), length)] = v[:length]
+        else:
+            out = np.full((batch_size, length, ref.shape[1]), pad, ref.dtype)
+            for i, v in enumerate(vals):
+                if v is not None:
+                    v = np.asarray(v)
+                    out[i, : min(v.shape[0], length)] = v[:length]
+        batch[key] = out
+    return batch
+
+
+def slots_from_labels(labels: np.ndarray, n_slots: int, ignore=-1):
+    """[B, L] labels with `ignore` at unused positions -> fixed-size slot
+    (positions [B, M], targets [B, M]) tensors for the static masked-hidden
+    gather (models/pretrain.py)."""
+    b, _ = labels.shape
+    pos = np.zeros((b, n_slots), np.int32)
+    tgt = np.full((b, n_slots), ignore, labels.dtype)
+    for i in range(b):
+        idx = np.nonzero(labels[i] != ignore)[0][:n_slots]
+        pos[i, : len(idx)] = idx
+        tgt[i, : len(idx)] = labels[i, idx]
+    return pos, tgt
+
+
+def slots_from_mask(mask: np.ndarray, n_slots: int):
+    """[B, L] boolean mask -> (positions [B, M], valid [B, M])."""
+    b, _ = mask.shape
+    pos = np.zeros((b, n_slots), np.int32)
+    valid = np.zeros((b, n_slots), np.float32)
+    for i in range(b):
+        idx = np.nonzero(mask[i])[0][:n_slots]
+        pos[i, : len(idx)] = idx
+        valid[i, : len(idx)] = 1.0
+    return pos, valid

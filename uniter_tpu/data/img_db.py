@@ -1,0 +1,139 @@
+"""Region-feature DB (reference DetectFeatLmdb, data/data.py:48-126).
+
+Values are npz blobs (``compress=True``, np.savez of features/norm_bb/conf/
+soft_labels) or msgpack; nbb is precomputed in
+``nbb_th{conf}_max{max}_min{min}.json`` or derived from conf scores. The
+7-d position feature is [x1, y1, x2, y2, w, h, w*h]
+(data/data.py:248-252)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from collections import defaultdict
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from uniter_tpu.data import msgpack_numpy as msgnp
+from uniter_tpu.data.store import KVStore, open_store
+
+
+def compute_num_bb(confs, conf_th, min_bb, max_bb) -> int:
+    """reference data/data.py:33-36."""
+    num_bb = max(min_bb, int((confs > conf_th).sum()))
+    return min(max_bb, num_bb)
+
+
+def _fp16_to_fp32(d):
+    return {
+        k: (v.astype(np.float32) if getattr(v, "dtype", None) == np.float16
+            else v)
+        for k, v in d.items()
+    }
+
+
+class DetectFeatDb:
+    def __init__(self, img_dir: str, conf_th: float = 0.2, max_bb: int = 100,
+                 min_bb: int = 10, num_bb: int = 36, compress: bool = True,
+                 store: Optional[KVStore] = None):
+        self.img_dir = img_dir
+        self.conf_th = conf_th
+        self.min_bb = min_bb
+        self.max_bb = max_bb
+        self.compress = compress
+        if conf_th == -1:
+            db_name = f"feat_numbb{num_bb}"
+            self.name2nbb = defaultdict(lambda: num_bb)
+        else:
+            db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
+            nbb = f"nbb_th{conf_th}_max{max_bb}_min{min_bb}.json"
+            nbb_path = os.path.join(img_dir, nbb)
+            if os.path.exists(nbb_path):
+                with open(nbb_path) as f:
+                    self.name2nbb = json.load(f)
+            else:
+                self.name2nbb = None
+        if compress:
+            db_name += "_compressed"
+        if self.name2nbb is None and conf_th != -1:
+            db_name = "all_compressed" if compress else "all"
+        path = os.path.join(img_dir, db_name)
+        if not os.path.isdir(path):
+            # tolerate a bare store directory (test fixtures)
+            path = img_dir
+        self.store = store or open_store(path)
+        if self.name2nbb is None:
+            self.name2nbb = self._compute_nbb()
+
+    def _decode(self, dump: bytes) -> Dict[str, np.ndarray]:
+        if self.compress:
+            with io.BytesIO(dump) as reader:
+                z = np.load(reader, allow_pickle=True)
+                return {k: z[k] for k in z.files}
+        return msgnp.unpackb(dump)
+
+    def _compute_nbb(self):
+        out = {}
+        keys_blob = self.store.get("__keys__")
+        if keys_blob is not None:
+            fnames = json.loads(keys_blob.decode("utf-8"))
+        else:
+            fnames = [k for k in self.store.keys() if k != "__keys__"]
+        for fname in fnames:
+            confs = self._decode(self.store[fname])["conf"]
+            out[fname] = compute_num_bb(
+                confs, self.conf_th, self.min_bb, self.max_bb)
+        return out
+
+    def get_dump(self, file_name: str) -> Dict[str, np.ndarray]:
+        """Full record incl. soft_labels, trimmed to nbb (for MRC)."""
+        d = _fp16_to_fp32(self._decode(self.store[file_name]))
+        nbb = self.name2nbb[file_name]
+        return {k: v[:nbb] for k, v in d.items()}
+
+    def __getitem__(self, file_name: str) -> Tuple[np.ndarray, np.ndarray]:
+        d = self._decode(self.store[file_name])
+        nbb = self.name2nbb[file_name]
+        feat = np.asarray(d["features"][:nbb], dtype=np.float32)
+        bb = np.asarray(d["norm_bb"][:nbb], dtype=np.float32)
+        return feat, bb
+
+    def get_img_feat(self, fname: str):
+        """(features, 7-d pos feat, nbb) — reference
+        DetectFeatTxtTokDataset._get_img_feat (data/data.py:248-252)."""
+        feat, bb = self[fname]
+        pos7 = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)
+        return feat, pos7, feat.shape[0]
+
+
+def write_img_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
+                 conf_th: float = 0.2, max_bb: int = 100, min_bb: int = 10,
+                 compress: bool = True):
+    """Create an img DB (test fixtures; scripts/convert_imgdir.py analog).
+
+    records: fname -> {features [N,2048] fp16, norm_bb [N,6] fp16,
+                       conf [N], soft_labels [N,1601]}.
+    """
+    db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
+    if compress:
+        db_name += "_compressed"
+    path = os.path.join(img_dir, db_name)
+    os.makedirs(path, exist_ok=True)
+    store = open_store(path, create=True)
+    name2nbb = {}
+    for fname, rec in records.items():
+        if compress:
+            buf = io.BytesIO()
+            np.savez(buf, **rec)
+            store.put(fname, buf.getvalue())
+        else:
+            store.put(fname, msgnp.packb(rec))
+        name2nbb[fname] = compute_num_bb(
+            np.asarray(rec["conf"]), conf_th, min_bb, max_bb)
+    store.put("__keys__", json.dumps(list(records)).encode())
+    nbb = f"nbb_th{conf_th}_max{max_bb}_min{min_bb}.json"
+    with open(os.path.join(img_dir, nbb), "w") as f:
+        json.dump(name2nbb, f)
+    store.close()

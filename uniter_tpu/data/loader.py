@@ -1,0 +1,145 @@
+"""Loaders: bucketed batch iteration, task mixing, device prefetch.
+
+  * ``BucketLoader`` — drives a dataset + StaticBucketSampler + per-task
+    collate into fixed-shape numpy batches (the reference's
+    DataLoader(collate_fn=...) role).
+  * ``MetaLoader`` — pretraining task mixing (reference data/loader.py:17-84).
+    The reference samples a task on rank 0 and ``any_broadcast``s it over
+    NCCL every accumulation window (loader.py:43-47); here every host draws
+    from the same seeded RNG stream, which is deterministic and needs no
+    collective.
+  * ``DevicePrefetcher`` — double-buffered jax.device_put with the data-axis
+    sharding (replaces the reference's CUDA-stream PrefetchLoader,
+    data/loader.py:87-142).
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+import queue as queue_mod
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.sampler import StaticBucketSampler
+
+
+class BucketLoader:
+    """Yields (name, batch) fixed-shape numpy batches forever (train) or for
+    one pass (eval)."""
+
+    def __init__(
+        self,
+        dataset,
+        spec: BucketSpec,
+        collate: Optional[Callable] = None,
+        *,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: Optional[bool] = None,
+        loop: bool = False,
+    ):
+        self.dataset = dataset
+        self.spec = spec
+        self.collate = collate or type(dataset).collate
+        self.seed = seed
+        self.loop = loop
+        rows = getattr(dataset, "rows_per_example", 1)
+        sizes = [dataset.size_of(i) for i in range(len(dataset))]
+        self.sampler = StaticBucketSampler(
+            sizes, spec, shuffle=shuffle, seed=seed,
+            drop_last=loop if drop_last is None else drop_last,
+            rows_per_example=rows,
+        )
+        self._epoch = 0
+
+    def _iter_once(self) -> Iterator[Dict[str, Any]]:
+        rng = np.random.RandomState(
+            (self.seed * 1_000_003 + self._epoch) % (2**31))
+        self._epoch += 1
+        new_epoch = getattr(self.dataset, "new_epoch", None)
+        if new_epoch is not None and self._epoch > 1:
+            new_epoch(rng)
+            self.sampler = StaticBucketSampler(
+                [self.dataset.size_of(i) for i in range(len(self.dataset))],
+                self.spec, shuffle=True, seed=self.seed + self._epoch,
+                drop_last=self.sampler.drop_last,
+                rows_per_example=self.sampler.rows_per_example,
+            )
+        for (t_b, r_b), idxs in self.sampler:
+            records = [self.dataset.get_record(i, rng) for i in idxs]
+            bs = self.sampler.batch_size((t_b, r_b))
+            yield self.collate(records, t_b, r_b, bs)
+
+    def __iter__(self):
+        if not self.loop:
+            return self._iter_once()
+        return itertools.chain.from_iterable(
+            self._iter_once() for _ in itertools.count())
+
+    def __len__(self):
+        return len(self.sampler)
+
+
+class MetaLoader:
+    """Infinite mixed-task iterator: draw task ~ mix_ratio each accumulation
+    window, then yield accum_steps batches of it (reference
+    data/loader.py:17-57)."""
+
+    def __init__(self, loaders: Dict[str, tuple], accum_steps: int = 1,
+                 seed: int = 42):
+        # loaders: name -> (loader, ratio)
+        self.names = []
+        self.iters = {}
+        self.loaders = {}
+        for name, (loader, ratio) in loaders.items():
+            self.loaders[name] = loader
+            self.iters[name] = iter(loader)
+            self.names.extend([name] * int(ratio))
+        self.accum_steps = accum_steps
+        self.rng = np.random.RandomState(seed)
+
+    def __iter__(self):
+        while True:
+            task = self.names[self.rng.randint(len(self.names))]
+            for _ in range(self.accum_steps):
+                it = self.iters[task]
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    self.iters[task] = iter(self.loaders[task])
+                    batch = next(self.iters[task])
+                yield task, batch
+
+
+class DevicePrefetcher:
+    """Host->device transfer overlap: a worker thread device_puts the next
+    batch (with the given shardings) while the current one computes."""
+
+    def __init__(self, it: Iterator, device_put: Callable, depth: int = 2):
+        self.it = it
+        self.device_put = device_put
+        self.q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        self.thread = threading.Thread(target=self._work, daemon=True)
+        self.thread.start()
+
+    def _work(self):
+        try:
+            for item in self.it:
+                self.q.put(self.device_put(item))
+        except Exception as e:  # surface in consumer
+            self.q.put(e)
+        self.q.put(StopIteration)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is StopIteration:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item

@@ -1,0 +1,103 @@
+"""Samplers: static-bucket batch planning + distributed epoch sampling.
+
+``StaticBucketSampler`` is the TPU analog of the reference's
+TokenBucketSampler (data/sampler.py:16-61): it groups example indices by
+their static (T, R) bucket, shuffles within groups, and emits
+(bucket, index-list) batches of the bucket's fixed batch size. The XLA
+program count is bounded by the bucket grid; padding waste replaces
+recompiles.
+
+``DistributedSampler`` (epoch-based, used by RE — reference
+data/sampler.py:64-121) pads to divisibility and strides by shard.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from uniter_tpu.data.buckets import BucketSpec
+
+
+class StaticBucketSampler:
+    def __init__(
+        self,
+        sizes: Sequence[Tuple[int, int]],  # per-example (txt_len, nbb)
+        spec: BucketSpec,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        rows_per_example: int = 1,
+    ):
+        self.spec = spec
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.rows_per_example = rows_per_example
+        self.buckets: Dict[Tuple[int, int], List[int]] = {}
+        for i, (tl, nbb) in enumerate(sizes):
+            self.buckets.setdefault(spec.bucket_for(tl, nbb), []).append(i)
+        self.epoch = 0
+
+    def batch_size(self, bucket) -> int:
+        b = self.spec.batch_size(bucket)
+        return max(b // self.rows_per_example, 1)
+
+    def __iter__(self) -> Iterator[Tuple[Tuple[int, int], List[int]]]:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        self.epoch += 1
+        batches = []
+        for bucket, idxs in self.buckets.items():
+            idxs = list(idxs)
+            if self.shuffle:
+                rng.shuffle(idxs)
+            bs = self.batch_size(bucket)
+            for st in range(0, len(idxs), bs):
+                chunk = idxs[st:st + bs]
+                if len(chunk) < bs and self.drop_last:
+                    continue
+                batches.append((bucket, chunk))
+        if self.shuffle:
+            rng.shuffle(batches)
+        return iter(batches)
+
+    def __len__(self):
+        n = 0
+        for bucket, idxs in self.buckets.items():
+            bs = self.batch_size(bucket)
+            full, rem = divmod(len(idxs), bs)
+            n += full + (0 if (self.drop_last or rem == 0) else 1)
+        return n
+
+
+class DistributedSampler:
+    """Epoch-based per-shard sampler (reference data/sampler.py:64-121):
+    pad indices to a multiple of shard_count, epoch-seeded shuffle, stride
+    by shard."""
+
+    def __init__(self, n: int, shard_index: int = 0, shard_count: int = 1,
+                 shuffle: bool = True, seed: int = 0):
+        self.n = n
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self):
+        idxs = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idxs)
+        pad = (-len(idxs)) % self.shard_count
+        if pad:
+            idxs = np.concatenate([idxs, idxs[:pad]])
+        return iter(idxs[self.shard_index::self.shard_count].tolist())
+
+    def __len__(self):
+        return (self.n + self.shard_count - 1) // self.shard_count

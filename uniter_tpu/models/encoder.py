@@ -102,7 +102,7 @@ class Embed(nn.Module):
         )
 
     def __call__(self, ids):
-        return jnp.take(self.embedding, ids, axis=0).astype(
+        return jnp.take(self.embedding, ids, axis=0, mode="clip").astype(
             self.config.compute_dtype
         )
 

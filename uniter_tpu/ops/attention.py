@@ -121,11 +121,15 @@ def _mha_bwd_kernel(
 
 
 def _bhsd_spec(s, d):
-    return pl.BlockSpec((1, 1, s, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    # index_map receives (*grid_ids, *scalar_prefetch_refs) under
+    # PrefetchScalarGridSpec — swallow the scalar ref.
+    return pl.BlockSpec(
+        (1, 1, s, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
 
 
 def _bias_spec(s):
-    return pl.BlockSpec((1, s), lambda b, h: (b, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, s), lambda b, h, *_: (b, 0), memory_space=pltpu.VMEM)
 
 
 def _mha_pallas_raw(q, k, v, bias, seed, rate):
