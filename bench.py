@@ -12,10 +12,16 @@ fine-tune). vs_baseline = measured_ex_per_sec_per_chip / 170.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compile cache: pallas+PRNG kernels take minutes to compile
+# through the remote-compile tunnel the first time; cached afterwards.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 V100_BASELINE_EX_PER_SEC = 170.0
 
@@ -26,6 +32,8 @@ B, T, R = 96, 64, 40
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from uniter_tpu.config import base_config

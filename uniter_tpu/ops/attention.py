@@ -56,12 +56,12 @@ def _mha_xla(q, k, v, bias, dropout_rate=0.0, dropout_rng=None):
 
 
 def _attn_probs(q_ref, k_ref, bias_ref, *, sm_scale):
-    q = q_ref[0]  # [S, D]
-    k = k_ref[0]
+    q = q_ref[0, 0]  # [S, D]
+    k = k_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * sm_scale + bias_ref[...].astype(jnp.float32)  # [S, S]
+    s = s * sm_scale + bias_ref[0].astype(jnp.float32)  # [S,S]+[1,S]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
@@ -80,9 +80,9 @@ def _mha_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
     if rate > 0.0:
         keep = _dropout_bits(seed_ref, rate, p.shape)
         p = jnp.where(keep, p / (1.0 - rate), 0.0)
-    o_ref[0] = jax.lax.dot_general(
+    o_ref[0, 0] = jax.lax.dot_general(
         p.astype(v_ref.dtype),
-        v_ref[0],
+        v_ref[0, 0],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
@@ -92,15 +92,15 @@ def _mha_bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, rate
 ):
     p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)  # [S, S] fp32
-    g = g_ref[0].astype(jnp.float32)  # [S, D]
-    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)  # [S, D]
+    v = v_ref[0, 0].astype(jnp.float32)
     if rate > 0.0:
         keep = _dropout_bits(seed_ref, rate, p.shape)
         pd = jnp.where(keep, p / (1.0 - rate), 0.0)
     else:
         keep = None
         pd = p
-    dv_ref[0] = jax.lax.dot_general(
+    dv_ref[0, 0] = jax.lax.dot_general(
         pd, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
@@ -110,12 +110,12 @@ def _mha_bwd_kernel(
         dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax bwd
     ds = ds * sm_scale
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(
-        ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, q_ref[0, 0].astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
 
@@ -129,12 +129,17 @@ def _bhsd_spec(s, d):
 
 
 def _bias_spec(s):
-    return pl.BlockSpec((1, s), lambda b, h, *_: (b, 0), memory_space=pltpu.VMEM)
+    # bias arrives as [B, 1, S]; a (1, 1, S) block satisfies the TPU tiling
+    # rule (trailing block dims equal to the array dims).
+    return pl.BlockSpec(
+        (1, 1, s), lambda b, h, *_: (b, 0, 0), memory_space=pltpu.VMEM
+    )
 
 
 def _mha_pallas_raw(q, k, v, bias, seed, rate):
     """q,k,v: [B, H, S, D]; bias: [B, S]; seed: int32[1]."""
     b, h, s, d = q.shape
+    bias = bias.reshape(b, 1, s)
     kernel = functools.partial(
         _mha_fwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate
     )
@@ -153,6 +158,7 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate):
 
 def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g):
     b, h, s, d = q.shape
+    bias = bias.reshape(b, 1, s)
     kernel = functools.partial(
         _mha_bwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate
     )
