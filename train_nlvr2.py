@@ -1,0 +1,205 @@
+"""NLVR2 fine-tuning driver (reference train_nlvr2.py CLI surface).
+
+Usage: python train_nlvr2.py --config configs/train-nlvr2-base-1gpu.json
+       [--output_dir ... --model paired-attn ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.config import UniterConfig
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.img_db import DetectFeatDb
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.data.nlvr2 import Nlvr2PairedDataset, Nlvr2TripletDataset
+from uniter_tpu.data.txt_db import TxtTokDb
+from uniter_tpu.models import checkpoint as ckpt_lib
+from uniter_tpu.models.nlvr2 import MODEL_REGISTRY
+from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+from uniter_tpu.training.loop import TrainLoop, jnp_batch, place_state
+from uniter_tpu.training.optim import build_optimizer
+from uniter_tpu.training.sched import get_lr_schedule
+from uniter_tpu.training.step import TrainState
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER, TB_LOGGER, add_log_to_file
+from uniter_tpu.utils.misc import parse_with_config, set_random_seed
+from uniter_tpu.utils.save import TrainStateSaver, save_training_meta
+
+
+def build_dataset(txt_path, img_path, opts, is_train):
+    txt_db = TxtTokDb(txt_path, max_txt_len=opts.max_txt_len)
+    img_db = DetectFeatDb(
+        img_path, conf_th=opts.conf_th, max_bb=opts.max_bb,
+        min_bb=opts.min_bb, num_bb=opts.num_bb)
+    cls = (Nlvr2PairedDataset if opts.model in ("paired", "paired-attn")
+           else Nlvr2TripletDataset)
+    return cls(txt_db, img_db, use_img_type=opts.use_img_type)
+
+
+def build_model_and_params(opts, rng):
+    model_cfg = UniterConfig.from_json_file(
+        opts.model_config, type_vocab_size=3,
+        dtype=opts.dtype, attention_impl=opts.attention_impl)
+    model = MODEL_REGISTRY[opts.model](model_cfg, img_dim=IMG_DIM)
+    t, r = 16, 8
+    b = 4 if opts.model == "triplet" else 8
+    init_batch = dict(
+        input_ids=jnp.zeros((b, t), jnp.int32),
+        position_ids=jnp.zeros((b, t), jnp.int32),
+        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
+        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
+        attn_mask=jnp.ones((b, t + r), jnp.int32),
+        img_type_ids=jnp.ones((b, r), jnp.int32),
+        targets=jnp.zeros((b if opts.model == "triplet" else b // 2,),
+                          jnp.int32),
+    )
+    params = model.init({"params": rng}, init_batch, False)["params"]
+    if opts.checkpoint:
+        sd = ckpt_lib.load_torch_checkpoint(opts.checkpoint)
+        flat, missing, _ = ckpt_lib.uniter_params_from_state_dict(
+            sd, model_cfg.num_hidden_layers)
+        # token-type table is widened to 3 rows: load rows 0/1, copy row 1
+        # into row 2 (reference model/nlvr2.py:26-34)
+        tt = flat.pop("embeddings/token_type_embeddings/embedding", None)
+        params, filled = ckpt_lib.merge_into_params(
+            dict(params), flat, prefix="uniter")
+        if tt is not None:
+            node = params["uniter"]["embeddings"]["token_type_embeddings"]
+            new = np.asarray(node["embedding"]).copy()
+            new[:2] = tt[:2]
+            new[2] = tt[1]
+            node["embedding"] = jnp.asarray(new)
+        LOGGER.info("loaded %d tensors from %s", len(filled), opts.checkpoint)
+    return model, model_cfg, params
+
+
+def validate(model, params, loader, paired: bool):
+    n_correct, n_ex, loss_sum = 0, 0, 0.0
+    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
+        scores = np.asarray(predict(params, jb))
+        targets = np.asarray(batch["targets"])
+        w = np.asarray(batch["ex_weight"])
+        if paired:
+            w = w[: len(targets)]
+        valid = w > 0
+        preds = scores.argmax(-1)
+        n_correct += int((preds[valid] == targets[valid]).sum())
+        n_ex += int(valid.sum())
+    return {"acc": n_correct / max(n_ex, 1), "n_ex": n_ex}
+
+
+def main(opts):
+    set_random_seed(opts.seed)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    mesh = make_mesh(MeshConfig(data=-1))
+    LOGGER.info("mesh: %s", mesh)
+
+    model, model_cfg, params = build_model_and_params(
+        opts, jax.random.PRNGKey(opts.seed))
+    save_training_meta(opts.output_dir, opts, model_cfg.to_dict())
+    TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
+    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+
+    train_ds = build_dataset(opts.train_txt_db, opts.train_img_db, opts, True)
+    dp = mesh.shape["data"]
+    rows = getattr(train_ds, "rows_per_example", 1)
+    size_mul = max(8, dp * rows)
+    spec = BucketSpec(token_budget=opts.train_batch_size, size_mul=size_mul)
+    train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True)
+    val_ds = build_dataset(opts.val_txt_db, opts.val_img_db, opts, False)
+    val_loader = BucketLoader(
+        val_ds, BucketSpec(token_budget=opts.val_batch_size,
+                           size_mul=size_mul),
+        shuffle=False, drop_last=False)
+
+    tx = build_optimizer(
+        params, get_lr_schedule(
+            opts.learning_rate, opts.warmup_steps, opts.num_train_steps),
+        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
+        grad_norm=opts.grad_norm, optim=opts.optim)
+    state = place_state(TrainState.create(params, tx), mesh)
+
+    paired = opts.model in ("paired", "paired-attn")
+
+    def loss_fn(p, batch, rng):
+        per_ex = model.apply(
+            {"params": p}, batch, True, deterministic=False,
+            rngs={"dropout": rng})
+        w = batch.get("ex_weight")
+        if w is not None:
+            w = w[: per_ex.shape[0]]
+            loss = jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)
+        else:
+            loss = jnp.mean(per_ex)
+        return loss, {}
+
+    saver = TrainStateSaver(opts.output_dir)
+
+    def validate_fn(state, step):
+        logs = validate(model, state.params, val_loader, paired)
+        LOGGER.info("step %d: val acc %.4f", step, logs["acc"])
+        return logs
+
+    loop = TrainLoop(
+        loss_fn=loss_fn, state=state, train_loader=train_loader, mesh=mesh,
+        num_train_steps=opts.num_train_steps,
+        gradient_accumulation_steps=opts.gradient_accumulation_steps,
+        valid_steps=opts.valid_steps, validate_fn=validate_fn, saver=saver,
+        seed=opts.seed)
+    state = loop.run()
+    LOGGER.info("training finished at step %d", int(state.step))
+    return state
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str)
+    parser.add_argument("--train_txt_db", type=str)
+    parser.add_argument("--train_img_db", type=str)
+    parser.add_argument("--val_txt_db", type=str)
+    parser.add_argument("--val_img_db", type=str)
+    parser.add_argument("--test_txt_db", type=str)
+    parser.add_argument("--test_img_db", type=str)
+    parser.add_argument("--checkpoint", type=str, default="")
+    parser.add_argument("--model_config", type=str)
+    parser.add_argument("--model", default="paired-attn",
+                        choices=list(MODEL_REGISTRY))
+    parser.add_argument("--use_img_type", action="store_true", default=True)
+    parser.add_argument("--output_dir", required=True, type=str)
+    parser.add_argument("--max_txt_len", type=int, default=60)
+    parser.add_argument("--conf_th", type=float, default=0.2)
+    parser.add_argument("--max_bb", type=int, default=100)
+    parser.add_argument("--min_bb", type=int, default=10)
+    parser.add_argument("--num_bb", type=int, default=36)
+    parser.add_argument("--train_batch_size", type=int, default=10240)
+    parser.add_argument("--val_batch_size", type=int, default=10240)
+    parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    parser.add_argument("--learning_rate", type=float, default=3e-5)
+    parser.add_argument("--valid_steps", type=int, default=500)
+    parser.add_argument("--num_train_steps", type=int, default=8000)
+    parser.add_argument("--optim", default="adamw")
+    parser.add_argument("--betas", nargs=2, type=float, default=[0.9, 0.98])
+    parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--grad_norm", type=float, default=2.0)
+    parser.add_argument("--warmup_steps", type=int, default=800)
+    parser.add_argument("--seed", type=int, default=77)
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--attention_impl", default="xla")
+    parser.add_argument("--fp16", action="store_true",
+                        help="accepted for config compat; bf16 is used")
+    parser.add_argument("--n_workers", type=int, default=4)
+    parser.add_argument("--pin_mem", action="store_true")
+    return parser
+
+
+if __name__ == "__main__":
+    main(parse_with_config(get_parser()))

@@ -50,10 +50,13 @@ class BucketSpec:
         return self.txt_bucket(txt_len), self.img_bucket(nbb)
 
     def batch_size(self, bucket: Tuple[int, int]) -> int:
+        """Rows per batch: token budget, floored to a multiple of size_mul.
+        size_mul must cover both hardware alignment (8) and the data-parallel
+        shard count x rows-per-example so every device gets whole examples."""
         t, r = bucket
         b = self.token_budget // (t + r)
         b = (b // self.size_mul) * self.size_mul
-        return max(b, self.min_batch)
+        return max(b, self.size_mul, self.min_batch)
 
 
 def pad_1d(arr, length, pad=0, dtype=None):

@@ -1,0 +1,100 @@
+"""Checkpointing + run provenance (reference utils/save.py).
+
+``save_training_meta`` writes hps.json / model.json / git info
+(reference :17-54). ``TrainStateSaver`` goes beyond the reference's
+weights-only ``ModelSaver`` (:57-73, whose optimizer-state save was an
+unfinished TODO): full train-state checkpointing via Orbax with real resume,
+plus a weights-only export for inference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+from typing import Any, Optional
+
+from uniter_tpu.utils.logger import LOGGER
+
+
+def save_training_meta(output_dir: str, args: Any, model_config: dict):
+    os.makedirs(os.path.join(output_dir, "log"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "ckpt"), exist_ok=True)
+
+    hps = {k: v for k, v in sorted(vars(args).items())
+           if not k.startswith("_")}
+    with open(os.path.join(output_dir, "log", "hps.json"), "w") as f:
+        json.dump(hps, f, indent=4, default=str)
+    with open(os.path.join(output_dir, "log", "model.json"), "w") as f:
+        json.dump(model_config, f, indent=4)
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], text=True,
+            stderr=subprocess.DEVNULL).strip()
+        branch = subprocess.check_output(
+            ["git", "rev-parse", "--abbrev-ref", "HEAD"], text=True,
+            stderr=subprocess.DEVNULL).strip()
+        with open(os.path.join(output_dir, "log", "git_info.json"), "w") as f:
+            json.dump({"branch": branch, "commit": sha}, f, indent=4)
+    except Exception:
+        LOGGER.info("git info not available")
+
+
+class TrainStateSaver:
+    """Orbax-backed train-state checkpoints: ckpt/step_{N} holds params +
+    opt state + step; restore() resumes exactly."""
+
+    def __init__(self, output_dir: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self.dir = os.path.abspath(os.path.join(output_dir, "ckpt"))
+        os.makedirs(self.dir, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state):
+        import orbax.checkpoint as ocp
+
+        self.mngr.save(
+            step,
+            args=ocp.args.StandardSave({"params": state.params,
+                                        "opt_state": state.opt_state,
+                                        "step": state.step}),
+        )
+        self.mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mngr.latest_step()
+
+    def restore(self, state, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None
+        restored = self.mngr.restore(
+            step,
+            args=ocp.args.StandardRestore({"params": state.params,
+                                           "opt_state": state.opt_state,
+                                           "step": state.step}),
+        )
+        return state.replace(**restored)
+
+
+def save_params_msgpack(path: str, params):
+    """Weights-only export (flax serialization) — the analog of the
+    reference's ``model_step_{N}.pt``."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params_msgpack(path: str, template):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
