@@ -1,0 +1,187 @@
+"""UNITER pretraining driver (reference pretrain.py).
+
+Builds per-(corpus x task) bucketed loaders from the config's
+``train_datasets`` declaration (pretrain.py:116-165), mixes tasks with
+MetaLoader (seeded, no collective — replaces any_broadcast,
+data/loader.py:43-47), and trains UniterForPretraining with per-task scalar
+losses (MLM / MRFR / ITM+OT / MRC-kl). One train step is compiled per
+(task, bucket shape).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.config import IMG_LABEL_DIM
+from uniter_tpu.data.datasets import ConcatDataset, ImageDbGroup
+from uniter_tpu.data.itm import ItmDataset
+from uniter_tpu.data.loader import BucketLoader, MetaLoader
+from uniter_tpu.data.mlm import MlmDataset
+from uniter_tpu.data.mrm import MrcDataset, MrfrDataset
+from uniter_tpu.data.txt_db import TxtTokDb
+from uniter_tpu.models.pretrain import UniterForPretraining
+from uniter_tpu.training import driver
+from uniter_tpu.training.optim import build_optimizer
+from uniter_tpu.training.sched import get_lr_schedule
+from uniter_tpu.training.step import TrainState, make_train_step
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER, RunningMeter, TB_LOGGER
+from uniter_tpu.utils.misc import parse_with_config
+from uniter_tpu.utils.save import TrainStateSaver
+
+
+def build_model_and_params(opts, rng):
+    cfg = driver.model_config_from_opts(opts)
+    model = UniterForPretraining(
+        cfg, img_dim=IMG_DIM, img_label_dim=IMG_LABEL_DIM)
+    b, t, r, m = 8, 16, 8, 4
+    init_batch = dict(
+        input_ids=jnp.zeros((b, t), jnp.int32),
+        position_ids=jnp.zeros((b, t), jnp.int32),
+        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
+        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
+        attn_mask=jnp.ones((b, t + r), jnp.int32),
+        mlm_pos=jnp.zeros((b, m), jnp.int32),
+        mrm_pos=jnp.zeros((b, m), jnp.int32),
+    )
+    params = model.init(
+        {"params": rng}, init_batch,
+        method=UniterForPretraining.init_all)["params"]
+    params = driver.load_trunk_checkpoint(params, opts, cfg)
+    return model, cfg, params
+
+
+DATASET_REGISTRY = {
+    "mlm": lambda txt, img, opts: MlmDataset(txt, img),
+    "mrfr": lambda txt, img, opts: MrfrDataset(opts.mrm_prob, txt, img),
+    "mrc": lambda txt, img, opts: MrcDataset(opts.mrm_prob, txt, img),
+    "mrc-kl": lambda txt, img, opts: MrcDataset(opts.mrm_prob, txt, img),
+    "itm": lambda txt, img, opts: ItmDataset(
+        txt, img, neg_sample_p=opts.itm_neg_prob),
+}
+
+
+def create_dataloaders(datasets_cfg, opts, mesh) -> Dict[str, tuple]:
+    """name -> (loader, ratio); name is '{task}_{corpus-name}'
+    (reference pretrain.py:116-165)."""
+    img_group = ImageDbGroup(opts.conf_th, opts.max_bb, opts.min_bb,
+                             opts.num_bb, compress=not opts.uncompressed_db)
+    out = {}
+    for dset in datasets_cfg:
+        name = dset["name"]
+        txt_dbs = dset["db"] if isinstance(dset["db"], list) else [dset["db"]]
+        img_dirs = dset["img"] if isinstance(dset["img"], list) else [dset["img"]]
+        for task, ratio in zip(dset["tasks"], dset["mix_ratio"]):
+            build = DATASET_REGISTRY[task]
+            parts = []
+            for txt_path, img_dir in zip(txt_dbs, img_dirs):
+                txt_db = TxtTokDb(txt_path, max_txt_len=opts.max_txt_len)
+                parts.append(build(txt_db, img_group[img_dir], opts))
+            ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
+            spec = driver.bucket_spec(opts, mesh, ds)
+            collate = type(parts[0]).collate
+            loader = BucketLoader(ds, spec, collate=collate,
+                                  seed=opts.seed, loop=True)
+            out[f"{task}_{name}"] = (loader, ratio)
+    return out
+
+
+def main(opts):
+    cfg = driver.model_config_from_opts(opts)
+    mesh = driver.setup_run(opts, cfg)
+    model, cfg, params = build_model_and_params(
+        opts, jax.random.PRNGKey(opts.seed))
+
+    loaders = create_dataloaders(opts.train_datasets, opts, mesh)
+    meta = MetaLoader(loaders, accum_steps=opts.gradient_accumulation_steps,
+                      seed=opts.seed)
+
+    tx = build_optimizer(
+        params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
+                                opts.num_train_steps),
+        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
+        grad_norm=opts.grad_norm, optim=opts.optim)
+    from uniter_tpu.training.loop import place_state
+
+    state = place_state(TrainState.create(params, tx), mesh)
+    saver = TrainStateSaver(opts.output_dir)
+    restored = saver.restore(state)
+    if restored is not None:
+        state = restored
+
+    # one jitted step per task (jit also caches per batch-shape)
+    step_fns = {}
+
+    def get_step(task):
+        if task not in step_fns:
+            def loss_fn(p, batch, rng, _task=task):
+                scalar, metrics = model.apply(
+                    {"params": p}, batch, _task,
+                    ot_lambda=(opts.itm_ot_lambda
+                               if _task.startswith("itm") else 0.0),
+                    deterministic=False, rngs={"dropout": rng},
+                    method=UniterForPretraining.scalar_loss)
+                return scalar, metrics
+            step_fns[task] = make_train_step(
+                loss_fn, mesh=mesh, loss_scale="sum")
+        return step_fns[task]
+
+    task2loss = {}
+    rng = jax.random.PRNGKey(opts.seed)
+    n_examples = {}
+    t_start = time.time()
+    global_step = int(state.step)
+    for name, batch in iter(meta):
+        if global_step >= opts.num_train_steps:
+            break
+        task = name.split("_")[0]
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+        rng, sub = jax.random.split(rng)
+        state, metrics = get_step(task)(state, jb, sub)
+        global_step = int(state.step)
+        n_examples[name] = n_examples.get(name, 0) + int(
+            batch["ex_weight"].sum())
+        meter = task2loss.setdefault(name, RunningMeter(f"loss/{name}"))
+        meter(float(metrics["loss"]))
+        if global_step % 100 == 0:
+            tot_ex = sum(n_examples.values())
+            ex_per_s = tot_ex / (time.time() - t_start)
+            TB_LOGGER.log_scalar_dict(
+                {m.name: m.val for m in task2loss.values()
+                 if m.val is not None})
+            TB_LOGGER.add_scalar("perf/ex_per_s", ex_per_s, global_step)
+            LOGGER.info("step %d/%d (%.0f ex/s) %s", global_step,
+                        opts.num_train_steps, ex_per_s,
+                        {m.name: round(m.val, 4) for m in task2loss.values()
+                         if m.val is not None})
+        if global_step and global_step % opts.valid_steps == 0:
+            saver.save(global_step, state)
+    saver.save(int(state.step), state)
+    return state
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    driver.add_common_args(parser)
+    parser.add_argument("--train_datasets", type=str, nargs="*",
+                        help="declared in the config JSON")
+    parser.add_argument("--val_datasets", type=str, nargs="*")
+    parser.add_argument("--mrm_prob", type=float, default=0.15)
+    parser.add_argument("--itm_neg_prob", type=float, default=0.5)
+    parser.add_argument("--itm_ot_lambda", type=float, default=0.1)
+    parser.add_argument("--uncompressed_db", action="store_true")
+    parser.set_defaults(learning_rate=5e-5, num_train_steps=200000,
+                        warmup_steps=10000, train_batch_size=10240,
+                        max_txt_len=60)
+    return parser
+
+
+if __name__ == "__main__":
+    main(parse_with_config(get_parser()))

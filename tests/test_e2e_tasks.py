@@ -1,0 +1,98 @@
+"""End-to-end driver smoke tests: VQA fine-tune + mixed-task pretraining on
+synthetic DBs (CPU mesh)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+IMG_DIM = 2048  # drivers pin the reference feature dim (utils/const.py)
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    from uniter_tpu.data import write_img_db, write_txt_db
+
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.RandomState(0)
+    img_names = [f"coco_{i:06d}.npz" for i in range(6)]
+    img_records = {}
+    for n in img_names:
+        nbb = rng.randint(5, 10)
+        img_records[n] = dict(
+            features=rng.randn(nbb, IMG_DIM).astype(np.float16),
+            norm_bb=rng.rand(nbb, 6).astype(np.float16),
+            conf=np.linspace(1, 0.3, nbb).astype(np.float16),
+            soft_labels=rng.rand(nbb, 1601).astype(np.float16),
+        )
+    img_dir = str(root / "img")
+    write_img_db(img_dir, img_records, conf_th=0.2, max_bb=10, min_bb=3)
+
+    meta = {"CLS": 101, "SEP": 102, "MASK": 103, "v_range": [104, 300]}
+    recs, t2i = {}, {}
+    for i in range(24):
+        tid = f"q_{i}"
+        recs[tid] = dict(
+            input_ids=[int(x) for x in
+                       rng.randint(110, 300, rng.randint(4, 10))],
+            img_fname=img_names[i % 6],
+            target={"labels": [int(rng.randint(0, 7))], "scores": [1.0]},
+        )
+        t2i[tid] = img_names[i % 6]
+    txt_dir = str(root / "txt")
+    write_txt_db(txt_dir, recs, meta, t2i)
+
+    model_cfg = dict(
+        vocab_size=300, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+        hidden_act="gelu", initializer_range=0.02,
+    )
+    cfg_path = str(root / "model.json")
+    with open(cfg_path, "w") as f:
+        json.dump(model_cfg, f)
+    return dict(img=img_dir, txt=txt_dir, cfg=cfg_path, root=str(root))
+
+
+def test_train_vqa_e2e(env):
+    import train_vqa
+    from uniter_tpu.utils.misc import parse_with_config
+
+    argv = [
+        "--train_txt_db", env["txt"], "--train_img_db", env["img"],
+        "--val_txt_db", env["txt"], "--val_img_db", env["img"],
+        "--model_config", env["cfg"],
+        "--output_dir", env["root"] + "/vqa_out",
+        "--num_answer", "7",
+        "--train_batch_size", "256", "--val_batch_size", "256",
+        "--num_train_steps", "3", "--valid_steps", "3",
+        "--warmup_steps", "1", "--max_bb", "10", "--min_bb", "3",
+        "--dtype", "float32", "--seed", "1",
+    ]
+    opts = parse_with_config(train_vqa.get_parser(), argv)
+    state = train_vqa.main(opts)
+    assert int(state.step) == 3
+
+
+def test_pretrain_e2e(env):
+    import pretrain
+    from uniter_tpu.utils.misc import parse_with_config
+
+    argv = [
+        "--model_config", env["cfg"],
+        "--output_dir", env["root"] + "/pt_out",
+        "--train_batch_size", "256",
+        "--num_train_steps", "6", "--valid_steps", "6",
+        "--warmup_steps", "2", "--max_bb", "10", "--min_bb", "3",
+        "--dtype", "float32", "--seed", "1",
+    ]
+    opts = parse_with_config(pretrain.get_parser(), argv)
+    opts.train_datasets = [
+        {"name": "synth", "db": env["txt"], "img": env["img"],
+         "tasks": ["mlm", "itm", "mrfr", "mrc-kl"],
+         "mix_ratio": [2, 2, 1, 1]},
+    ]
+    state = pretrain.main(opts)
+    assert int(state.step) == 6

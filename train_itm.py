@@ -1,0 +1,121 @@
+"""Image-text retrieval fine-tuning driver (reference train_itm.py).
+
+ItmRankDataset groups (1 pos + 2*neg) pairs per example; margin-triplet
+loss over sigmoid rank scores (model/itm.py:45-53); ``rank_output`` is
+seeded from the pretrained ITM head row 1 (itm.py:25-28).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.data.itm import ItmRankDataset, ItmValDataset
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.data.txt_db import TxtTokDb
+from uniter_tpu.models.itm import (
+    UniterForImageTextRetrieval, init_rank_output_from_itm,
+)
+from uniter_tpu.training import driver
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.itm_eval import inference_score_matrix, itm_eval
+from uniter_tpu.utils.logger import LOGGER
+from uniter_tpu.utils.misc import parse_with_config
+
+
+def build_model_and_params(opts, rng):
+    cfg = driver.model_config_from_opts(opts)
+    model = UniterForImageTextRetrieval(
+        cfg, img_dim=IMG_DIM, margin=opts.margin)
+    b, t, r = 8, 16, 8
+    init_batch = dict(
+        input_ids=jnp.zeros((b, t), jnp.int32),
+        position_ids=jnp.zeros((b, t), jnp.int32),
+        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
+        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
+        attn_mask=jnp.ones((b, t + r), jnp.int32),
+    )
+    params = model.init({"params": rng}, init_batch, False)["params"]
+
+    def seed_rank_head(params, sd):
+        # itm_output comes from the checkpoint when present; then copy row 1
+        # into rank_output (reference itm.py:25-28, train_itm.py init_output)
+        if "itm_output.weight" in sd:
+            params["itm_output"]["kernel"] = jnp.asarray(
+                np.ascontiguousarray(sd["itm_output.weight"].T))
+            params["itm_output"]["bias"] = jnp.asarray(sd["itm_output.bias"])
+        return init_rank_output_from_itm(params)
+
+    params = driver.load_trunk_checkpoint(
+        params, opts, cfg, extra_map=seed_rank_head)
+    return model, cfg, params
+
+
+def validate_retrieval(model, params, val_ds, t_bucket=64, r_bucket=64):
+    predict = jax.jit(
+        lambda p, b: model.apply({"params": p}, b, False))
+    mat, txt_ids = inference_score_matrix(
+        predict, val_ds, params, t_bucket, r_bucket)
+    return itm_eval(mat, txt_ids, val_ds.all_img_ids, val_ds.txt2img,
+                    val_ds.img2txts)
+
+
+def main(opts):
+    cfg = driver.model_config_from_opts(opts)
+    mesh = driver.setup_run(opts, cfg)
+    model, cfg, params = build_model_and_params(
+        opts, jax.random.PRNGKey(opts.seed))
+
+    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
+    img_db = driver.open_img_db(opts.train_img_db, opts)
+    train_ds = ItmRankDataset(txt_db, img_db,
+                              neg_sample_size=opts.negative_size)
+    sample_size = 1 + 2 * opts.negative_size
+    train_ds.rows_per_example = sample_size
+    spec = driver.bucket_spec(opts, mesh, train_ds)
+    train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True)
+
+    val_txt = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len)
+    val_img = driver.open_img_db(opts.val_img_db, opts)
+    val_ds = ItmValDataset(val_txt, val_img,
+                           mini_batch_size=opts.inf_minibatch_size)
+
+    def loss_fn(p, batch, rng):
+        per_group = model.apply(
+            {"params": p}, batch, True, sample_size=sample_size,
+            deterministic=False, rngs={"dropout": rng})  # [G, sample-1]
+        w = batch["ex_weight"].reshape(-1, sample_size)[:, :1]
+        return (jnp.sum(per_group * w)
+                / jnp.maximum(jnp.sum(w) * (sample_size - 1), 1.0)
+                * (sample_size - 1)), {}
+
+    def validate_fn(state, step):
+        logs = validate_retrieval(model, state.params, val_ds)
+        LOGGER.info("step %d: r_mean %.4f", step, logs["r_mean"])
+        return logs
+
+    return driver.run_training(
+        opts, model=model, params=params, loss_fn=loss_fn,
+        train_loader=train_loader, mesh=mesh, validate_fn=validate_fn)
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    driver.add_common_args(parser)
+    parser.add_argument("--train_txt_db", type=str)
+    parser.add_argument("--train_img_db", type=str)
+    parser.add_argument("--val_txt_db", type=str)
+    parser.add_argument("--val_img_db", type=str)
+    parser.add_argument("--negative_size", type=int, default=1)
+    parser.add_argument("--margin", type=float, default=0.2)
+    parser.add_argument("--inf_minibatch_size", type=int, default=400)
+    parser.set_defaults(learning_rate=5e-5, num_train_steps=5000,
+                        warmup_steps=500, train_batch_size=8192)
+    return parser
+
+
+if __name__ == "__main__":
+    main(parse_with_config(get_parser()))

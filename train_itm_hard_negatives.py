@@ -1,0 +1,142 @@
+"""ITM fine-tuning with online hard-negative mining
+(reference train_itm_hard_negatives.py).
+
+Each step scores (1 + negative_size) candidates without grad, mines the top
+``hard_neg_size`` negatives with lax.top_k, and trains on [pos + hard] — all
+inside one compiled step (model/itm.py:58-139). Text-side and image-side
+candidate batches alternate (reference :164-192 runs both per step).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.itm import (
+    ItmRankDatasetHardNegFromImage, ItmRankDatasetHardNegFromText,
+    ItmValDataset, hard_neg_collate,
+)
+from uniter_tpu.data.txt_db import TxtTokDb
+from uniter_tpu.models.itm import (
+    UniterForImageTextRetrievalHardNeg, init_rank_output_from_itm,
+)
+from uniter_tpu.training import driver
+from uniter_tpu.training.optim import build_optimizer
+from uniter_tpu.training.sched import get_lr_schedule
+from uniter_tpu.training.step import TrainState, make_train_step
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER, TB_LOGGER
+from uniter_tpu.utils.misc import parse_with_config
+from uniter_tpu.utils.save import TrainStateSaver
+
+import train_itm
+
+
+def hn_loader(ds, t_bucket, r_bucket, seed):
+    """Yield one fixed-shape candidate batch per example, forever."""
+    rng = np.random.RandomState(seed)
+    order = np.arange(len(ds))
+    while True:
+        rng.shuffle(order)
+        for i in order:
+            rec = ds.get_record(int(i), rng)
+            yield hard_neg_collate(rec, t_bucket, r_bucket)
+
+
+def main(opts):
+    cfg = driver.model_config_from_opts(opts)
+    mesh = driver.setup_run(opts, cfg)
+    base_model, cfg, params = train_itm.build_model_and_params(
+        opts, jax.random.PRNGKey(opts.seed))
+    model = UniterForImageTextRetrievalHardNeg(
+        cfg, img_dim=IMG_DIM, margin=opts.margin,
+        hard_size=opts.hard_neg_size)
+
+    assert (opts.negative_size + 1) % 8 == 0, \
+        "candidate count must align to 8 (reference :438 tensor-core rule)"
+
+    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
+    img_db = driver.open_img_db(opts.train_img_db, opts)
+    ds_t = ItmRankDatasetHardNegFromText(
+        txt_db, img_db, neg_sample_size=opts.negative_size)
+    ds_i = ItmRankDatasetHardNegFromImage(
+        txt_db, img_db, neg_sample_size=opts.negative_size)
+    t_bucket, r_bucket = opts.txt_bucket, opts.img_bucket
+    loader_t = hn_loader(ds_t, t_bucket, r_bucket, opts.seed)
+    loader_i = hn_loader(ds_i, t_bucket, r_bucket, opts.seed + 1)
+
+    val_txt = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len)
+    val_img = driver.open_img_db(opts.val_img_db, opts)
+    val_ds = ItmValDataset(val_txt, val_img,
+                           mini_batch_size=opts.inf_minibatch_size)
+
+    tx = build_optimizer(
+        params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
+                                opts.num_train_steps),
+        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
+        grad_norm=opts.grad_norm, optim=opts.optim)
+    state = TrainState.create(params, tx)
+    saver = TrainStateSaver(opts.output_dir)
+
+    def loss_fn(p, batch, rng):
+        per_neg = model.apply(
+            {"params": p}, batch, True, deterministic=False,
+            rngs={"dropout": rng})
+        return jnp.mean(per_neg), {}
+
+    # Mining + training happen in ONE compiled step. Gradients accumulate
+    # over train_batch_size mined candidate-batches per optimizer update
+    # (the reference's micro-step scheme, train_itm_hard_negatives.py:185-222)
+    # via a lax.scan over the stacked [accum, ...] batch.
+    step = make_train_step(loss_fn, mesh=None, loss_scale="mean",
+                           accum_steps=opts.train_batch_size)
+
+    rng = jax.random.PRNGKey(opts.seed)
+    sources = itertools.cycle([loader_i, loader_t])
+    global_step = 0
+    while global_step < opts.num_train_steps:
+        batches = [next(next(sources))
+                   for _ in range(opts.train_batch_size)]
+        stacked = {
+            k: jnp.asarray(np.stack([b[k] for b in batches]))
+            for k in batches[0] if isinstance(batches[0][k], np.ndarray)
+        }
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, stacked, sub)
+        global_step = int(state.step)
+        TB_LOGGER.add_scalar("loss", float(metrics["loss"]), global_step)
+        if global_step and global_step % opts.valid_steps == 0:
+            logs = train_itm.validate_retrieval(model, state.params, val_ds)
+            LOGGER.info("step %d: r_mean %.4f", global_step, logs["r_mean"])
+            TB_LOGGER.log_scalar_dict(
+                {f"valid/{k}": v for k, v in logs.items()})
+            saver.save(global_step, state)
+    saver.save(int(state.step), state)
+    return state
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    driver.add_common_args(parser)
+    parser.add_argument("--train_txt_db", type=str)
+    parser.add_argument("--train_img_db", type=str)
+    parser.add_argument("--val_txt_db", type=str)
+    parser.add_argument("--val_img_db", type=str)
+    parser.add_argument("--negative_size", type=int, default=511)
+    parser.add_argument("--hard_neg_size", type=int, default=31)
+    parser.add_argument("--margin", type=float, default=0.2)
+    parser.add_argument("--inf_minibatch_size", type=int, default=400)
+    parser.add_argument("--txt_bucket", type=int, default=64)
+    parser.add_argument("--img_bucket", type=int, default=64)
+    parser.set_defaults(learning_rate=5e-5, num_train_steps=5000,
+                        warmup_steps=500, train_batch_size=8)
+    return parser
+
+
+if __name__ == "__main__":
+    main(parse_with_config(get_parser()))

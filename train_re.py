@@ -1,0 +1,123 @@
+"""Referring-expression fine-tuning driver (reference train_re.py).
+
+Epoch-based (per-epoch ref shuffle, re.py:65-68 / train_re.py:253), loss is
+summed over examples (train_re.py:195), head gets 10x lr (train_re.py:65-101),
+best-checkpoint tracking on val accuracy.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.data.re import ReDataset, ReEvalDataset, ReTxtTokDb, compute_iou
+from uniter_tpu.models.re import UniterForReferringExpressionComprehension
+from uniter_tpu.training import driver
+from uniter_tpu.training.loop import jnp_batch
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER
+from uniter_tpu.utils.misc import parse_with_config
+
+
+def build_model_and_params(opts, rng):
+    cfg = driver.model_config_from_opts(opts)
+    model = UniterForReferringExpressionComprehension(
+        cfg, img_dim=IMG_DIM, loss_type=opts.train_loss,
+        margin=opts.margin, hard_ratio=opts.hard_ratio, mlp=opts.mlp)
+    b, t, r = 8, 16, 8
+    init_batch = dict(
+        input_ids=jnp.zeros((b, t), jnp.int32),
+        position_ids=jnp.zeros((b, t), jnp.int32),
+        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
+        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
+        attn_mask=jnp.ones((b, t + r), jnp.int32),
+        obj_masks=jnp.zeros((b, r), bool),
+        targets=jnp.zeros((b,), jnp.int32),
+    )
+    params = model.init(
+        {"params": rng, "sampling": jax.random.PRNGKey(1)}, init_batch, True,
+        deterministic=True)["params"]
+    params = driver.load_trunk_checkpoint(params, opts, cfg)
+    return model, cfg, params
+
+
+def evaluate(model, params, loader):
+    """IoU>0.5 accuracy over gt or det boxes (reference inf_re.py:118-157)."""
+    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    n_correct, n_ex = 0, 0
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
+        scores = np.asarray(predict(params, jb))
+        w = np.asarray(batch["ex_weight"]) > 0
+        preds = scores.argmax(-1)
+        for i in np.nonzero(w)[0]:
+            obj_boxes = batch["obj_boxes"][i]
+            tgt = batch["tgt_box"][i]
+            pred_box = obj_boxes[min(preds[i], len(obj_boxes) - 1)]
+            n_correct += int(compute_iou(pred_box, tgt) > 0.5)
+            n_ex += 1
+    return {"acc": n_correct / max(n_ex, 1), "n_ex": n_ex}
+
+
+def main(opts):
+    cfg = driver.model_config_from_opts(opts)
+    mesh = driver.setup_run(opts, cfg)
+    model, cfg, params = build_model_and_params(
+        opts, jax.random.PRNGKey(opts.seed))
+
+    txt_db = ReTxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
+    img_db = driver.open_img_db(opts.train_img_db, opts)
+    train_ds = ReDataset(txt_db, img_db)
+    spec = driver.bucket_spec(opts, mesh, train_ds)
+    train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True)
+
+    val_txt = ReTxtTokDb(opts.val_txt_db, max_txt_len=-1)
+    val_img = driver.open_img_db(opts.val_img_db, opts)
+    val_loader = BucketLoader(
+        ReEvalDataset(val_txt, val_img, use_gt_feat=True),
+        driver.bucket_spec(opts, mesh, train_ds, opts.val_batch_size),
+        shuffle=False, drop_last=False)
+
+    def loss_fn(p, batch, rng):
+        per_ex = model.apply(
+            {"params": p}, batch, True, deterministic=False,
+            rngs={"dropout": rng, "sampling": jax.random.fold_in(rng, 1)})
+        w = batch["ex_weight"]
+        # reference RE loss is SUMMED over examples (train_re.py:195)
+        return jnp.sum(per_ex * w), {}
+
+    def validate_fn(state, step):
+        logs = evaluate(model, state.params, val_loader)
+        LOGGER.info("step %d: val IoU acc %.4f", step, logs["acc"])
+        return logs
+
+    return driver.run_training(
+        opts, model=model, params=params, loss_fn=loss_fn,
+        train_loader=train_loader, mesh=mesh, validate_fn=validate_fn,
+        lr_mul_paths=("re_",))
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    driver.add_common_args(parser)
+    parser.add_argument("--train_txt_db", type=str)
+    parser.add_argument("--train_img_db", type=str)
+    parser.add_argument("--val_txt_db", type=str)
+    parser.add_argument("--val_img_db", type=str)
+    parser.add_argument("--train_loss", default="cls",
+                        choices=["cls", "rank"])
+    parser.add_argument("--margin", type=float, default=0.2)
+    parser.add_argument("--hard_ratio", type=float, default=0.3)
+    parser.add_argument("--mlp", type=int, default=1)
+    parser.set_defaults(learning_rate=1e-4, lr_mul=10.0, max_txt_len=60,
+                        num_train_steps=24000, warmup_steps=2400,
+                        train_batch_size=8192)
+    return parser
+
+
+if __name__ == "__main__":
+    main(parse_with_config(get_parser()))

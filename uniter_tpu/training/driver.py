@@ -1,0 +1,162 @@
+"""Shared fine-tune driver plumbing: common CLI surface, model init +
+checkpoint load, mesh/state setup, and the run harness.
+
+Each ``train_*.py`` entry point supplies a small adapter (datasets, model,
+loss, validation) and inherits the reference's driver behavior
+(train_nlvr2.py:55-276 skeleton): config-JSON CLI, provenance dump, TB
+scalars, periodic validation, Orbax checkpoints with resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.config import UniterConfig
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.img_db import DetectFeatDb
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.models import checkpoint as ckpt_lib
+from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+from uniter_tpu.training.loop import TrainLoop, jnp_batch, place_state
+from uniter_tpu.training.optim import build_optimizer
+from uniter_tpu.training.sched import get_lr_schedule
+from uniter_tpu.training.step import TrainState
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER, TB_LOGGER, add_log_to_file
+from uniter_tpu.utils.misc import set_random_seed
+from uniter_tpu.utils.save import TrainStateSaver, save_training_meta
+
+
+def add_common_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--config", type=str)
+    parser.add_argument("--checkpoint", type=str, default="")
+    parser.add_argument("--model_config", type=str)
+    parser.add_argument("--output_dir", required=True, type=str)
+    parser.add_argument("--max_txt_len", type=int, default=60)
+    parser.add_argument("--conf_th", type=float, default=0.2)
+    parser.add_argument("--max_bb", type=int, default=100)
+    parser.add_argument("--min_bb", type=int, default=10)
+    parser.add_argument("--num_bb", type=int, default=36)
+    parser.add_argument("--train_batch_size", type=int, default=4096)
+    parser.add_argument("--val_batch_size", type=int, default=4096)
+    parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    parser.add_argument("--learning_rate", type=float, default=3e-5)
+    parser.add_argument("--lr_mul", type=float, default=1.0)
+    parser.add_argument("--valid_steps", type=int, default=1000)
+    parser.add_argument("--num_train_steps", type=int, default=8000)
+    parser.add_argument("--optim", default="adamw")
+    parser.add_argument("--betas", nargs=2, type=float, default=[0.9, 0.98])
+    parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--grad_norm", type=float, default=2.0)
+    parser.add_argument("--warmup_steps", type=int, default=800)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--attention_impl", default="xla")
+    parser.add_argument("--fp16", action="store_true",
+                        help="accepted for config compat; bf16 is used")
+    parser.add_argument("--n_workers", type=int, default=4)
+    parser.add_argument("--pin_mem", action="store_true")
+    return parser
+
+
+def open_img_db(path, opts, compress=True) -> DetectFeatDb:
+    return DetectFeatDb(
+        path, conf_th=opts.conf_th, max_bb=opts.max_bb, min_bb=opts.min_bb,
+        num_bb=opts.num_bb, compress=compress)
+
+
+def load_trunk_checkpoint(params, opts, model_cfg, *,
+                          n_type_rows: Optional[int] = None,
+                          type_copy_row: int = 1,
+                          n_special_words: int = 0,
+                          extra_map: Optional[Callable] = None):
+    """Load the torch checkpoint into the ``uniter`` trunk with the standard
+    surgeries (token-type widening, word widening, task-specific extras)."""
+    if not opts.checkpoint:
+        return params
+    sd = ckpt_lib.load_torch_checkpoint(opts.checkpoint)
+    flat, missing, consumed = ckpt_lib.uniter_params_from_state_dict(
+        sd, model_cfg.num_hidden_layers)
+    tt = None
+    if n_type_rows is not None:
+        tt = flat.pop("embeddings/token_type_embeddings/embedding", None)
+    wt = None
+    if n_special_words > 0:
+        wt = flat.pop("embeddings/word_embeddings/embedding", None)
+    params, filled = ckpt_lib.merge_into_params(
+        dict(params), flat, prefix="uniter")
+    if tt is not None:
+        node = params["uniter"]["embeddings"]["token_type_embeddings"]
+        new = np.asarray(node["embedding"]).copy()
+        new[: tt.shape[0]] = tt
+        for i in range(tt.shape[0], n_type_rows):
+            new[i] = tt[type_copy_row]
+        node["embedding"] = jnp.asarray(new)
+    if wt is not None:
+        node = params["uniter"]["embeddings"]["word_embeddings"]
+        new = np.asarray(node["embedding"]).copy()
+        new[: wt.shape[0]] = wt
+        node["embedding"] = jnp.asarray(new)
+    if extra_map is not None:
+        params = extra_map(params, sd)
+    LOGGER.info("loaded %d trunk tensors from %s", len(filled),
+                opts.checkpoint)
+    return params
+
+
+def model_config_from_opts(opts, **overrides) -> UniterConfig:
+    return UniterConfig.from_json_file(
+        opts.model_config, dtype=opts.dtype,
+        attention_impl=opts.attention_impl, **overrides)
+
+
+def setup_run(opts, model_cfg) -> tuple:
+    set_random_seed(opts.seed)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    mesh = make_mesh(MeshConfig(data=-1))
+    save_training_meta(opts.output_dir, opts, model_cfg.to_dict())
+    TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
+    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+    LOGGER.info("mesh: %s", mesh)
+    return mesh
+
+
+def bucket_spec(opts, mesh, dataset, budget=None) -> BucketSpec:
+    dp = mesh.shape["data"]
+    rows = getattr(dataset, "rows_per_example", 1)
+    return BucketSpec(
+        token_budget=budget or opts.train_batch_size,
+        size_mul=max(8, dp * rows))
+
+
+def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
+                 validate_fn=None, lr_mul_paths: Sequence[str] = ()):
+    tx = build_optimizer(
+        params,
+        get_lr_schedule(opts.learning_rate, opts.warmup_steps,
+                        opts.num_train_steps),
+        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
+        grad_norm=opts.grad_norm, optim=opts.optim,
+        lr_mul=getattr(opts, "lr_mul", 1.0), lr_mul_paths=lr_mul_paths)
+    state = place_state(TrainState.create(params, tx), mesh)
+    saver = TrainStateSaver(opts.output_dir)
+    restored = saver.restore(state)
+    if restored is not None:
+        state = restored
+        LOGGER.info("resumed from step %d", int(state.step))
+    loop = TrainLoop(
+        loss_fn=loss_fn, state=state, train_loader=train_loader, mesh=mesh,
+        num_train_steps=opts.num_train_steps,
+        gradient_accumulation_steps=opts.gradient_accumulation_steps,
+        valid_steps=opts.valid_steps, validate_fn=validate_fn, saver=saver,
+        seed=opts.seed)
+    state = loop.run()
+    LOGGER.info("training finished at step %d", int(state.step))
+    return state
