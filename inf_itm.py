@@ -1,0 +1,77 @@
+"""Image-text retrieval inference (reference inf_itm.py): computes the full
+|txt| x |img| score matrix (fp16 on disk) and R@1/5/10 both directions.
+Zero-shot evaluation from a pretrained checkpoint seeds rank_output from the
+ITM head (inf_itm.py:60-61)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.data.img_db import DetectFeatDb
+from uniter_tpu.data.itm import ItmEvalDataset
+from uniter_tpu.data.txt_db import TxtTokDb
+from uniter_tpu.models.itm import UniterForImageTextRetrieval
+from uniter_tpu.training import infer
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.itm_eval import inference_score_matrix, itm_eval
+from uniter_tpu.utils.logger import LOGGER
+
+
+def main(opts):
+    hps, model_json = infer.load_train_meta(opts.train_dir)
+    cfg = infer.model_config_from_meta(
+        model_json, dtype="float32",
+        attention_impl=getattr(hps, "attention_impl", "xla"))
+    model = UniterForImageTextRetrieval(cfg, img_dim=IMG_DIM)
+
+    txt_db = TxtTokDb(opts.txt_db, max_txt_len=-1)
+    img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
+                          max_bb=hps.max_bb, min_bb=hps.min_bb,
+                          num_bb=hps.num_bb)
+    ds = ItmEvalDataset(txt_db, img_db, mini_batch_size=opts.batch_size)
+
+    b0 = ds.get_batches(0, opts.txt_bucket, opts.img_bucket)[0]
+    jb0 = {k: jnp.asarray(v) for k, v in b0.items()
+           if isinstance(v, np.ndarray)}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb0, False)[
+        "params"]
+    params = infer.load_params(
+        infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
+
+    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    mat, txt_ids = inference_score_matrix(
+        predict, ds, params, opts.txt_bucket, opts.img_bucket)
+    logs = itm_eval(mat, txt_ids, ds.all_img_ids, ds.txt2img, ds.img2txts)
+
+    os.makedirs(opts.output_dir, exist_ok=True)
+    np.savez(
+        os.path.join(opts.output_dir, "score_matrix.npz"),
+        score_matrix=mat.astype(np.float16),
+        txt_ids=np.asarray(txt_ids), img_ids=np.asarray(ds.all_img_ids))
+    with open(os.path.join(opts.output_dir, "results.json"), "w") as f:
+        json.dump(logs, f, indent=2)
+    LOGGER.info("retrieval results: %s", logs)
+    return logs
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--txt_db", required=True)
+    parser.add_argument("--img_db", required=True)
+    parser.add_argument("--train_dir", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--batch_size", type=int, default=400)
+    parser.add_argument("--txt_bucket", type=int, default=64)
+    parser.add_argument("--img_bucket", type=int, default=64)
+    return parser
+
+
+if __name__ == "__main__":
+    main(get_parser().parse_args())

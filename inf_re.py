@@ -1,0 +1,94 @@
+"""Referring-expression inference (reference inf_re.py): IoU>0.5 accuracy
+over gt and detected boxes; writes per-sentence predictions."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.img_db import DetectFeatDb
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.data.re import ReEvalDataset, ReTxtTokDb, compute_iou
+from uniter_tpu.models.re import UniterForReferringExpressionComprehension
+from uniter_tpu.training import infer
+from uniter_tpu.training.loop import jnp_batch
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER
+
+
+def main(opts):
+    hps, model_json = infer.load_train_meta(opts.train_dir)
+    cfg = infer.model_config_from_meta(
+        model_json, dtype="float32",
+        attention_impl=getattr(hps, "attention_impl", "xla"))
+    model = UniterForReferringExpressionComprehension(
+        cfg, img_dim=IMG_DIM, loss_type=getattr(hps, "train_loss", "cls"),
+        mlp=getattr(hps, "mlp", 1))
+
+    txt_db = ReTxtTokDb(opts.txt_db, max_txt_len=-1)
+    img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
+                          max_bb=hps.max_bb, min_bb=hps.min_bb,
+                          num_bb=hps.num_bb)
+    ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat)
+    loader = BucketLoader(
+        ds, BucketSpec(token_budget=opts.batch_size, size_mul=8),
+        shuffle=False, drop_last=False)
+
+    batch0 = next(iter(loader))
+    jb0 = {k: jnp.asarray(v) for k, v in jnp_batch(batch0).items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jb0, False)["params"]
+    params = infer.load_params(
+        infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
+
+    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    n_correct, n_ex = 0, 0
+    predictions = []
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
+        scores = np.asarray(predict(params, jb))
+        w = np.asarray(batch["ex_weight"]) > 0
+        preds = scores.argmax(-1)
+        for i in np.nonzero(w)[0]:
+            obj_boxes = batch["obj_boxes"][i]
+            pred_box = obj_boxes[min(int(preds[i]), len(obj_boxes) - 1)]
+            iou = compute_iou(pred_box, batch["tgt_box"][i])
+            correct = iou > 0.5
+            n_correct += int(correct)
+            n_ex += 1
+            predictions.append({
+                "sent_id": batch["sent_ids"][i],
+                "pred_box": [float(x) for x in pred_box],
+                "iou": float(iou),
+            })
+    acc = n_correct / max(n_ex, 1)
+    os.makedirs(opts.output_dir, exist_ok=True)
+    feat = "gt" if opts.use_gt_feat else "det"
+    with open(os.path.join(opts.output_dir, f"results_{feat}.json"),
+              "w") as f:
+        json.dump({"acc": acc, "n_ex": n_ex, "predictions": predictions}, f)
+    LOGGER.info("RE %s-feature accuracy: %.4f (%d ex)", feat, acc, n_ex)
+    return acc
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--txt_db", required=True)
+    parser.add_argument("--img_db", required=True)
+    parser.add_argument("--train_dir", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--use_gt_feat", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=8192)
+    return parser
+
+
+if __name__ == "__main__":
+    main(get_parser().parse_args())

@@ -1,0 +1,126 @@
+"""VCR inference (reference inf_vcr.py): qa / qar / joint accuracy on val,
+and leaderboard-format CSV on test (per question: 4 answer probs + 4x4
+answer-conditioned rationale probs, reference inf_vcr.py:56-84)."""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.data.vcr import VcrEvalDataset, VcrTxtTokDb
+from uniter_tpu.models.vcr import (
+    NUM_SPECIAL_TOKENS, UniterForVisualCommonsenseReasoning,
+)
+from uniter_tpu.training import infer
+from uniter_tpu.training.loop import jnp_batch
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER
+
+from uniter_tpu.data.img_db import DetectFeatDb
+
+
+def softmax2(x):
+    e = np.exp(x - x.max())
+    return e / e.sum()
+
+
+def main(opts):
+    hps, model_json = infer.load_train_meta(opts.train_dir)
+    cfg = infer.model_config_from_meta(
+        model_json, type_vocab_size=4, dtype="float32",
+        attention_impl=getattr(hps, "attention_impl", "xla"))
+    model = UniterForVisualCommonsenseReasoning(cfg, img_dim=IMG_DIM)
+
+    txt_db = VcrTxtTokDb(opts.txt_db, max_txt_len=-1, task="qa,qar")
+    img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
+                          max_bb=hps.max_bb, min_bb=hps.min_bb,
+                          num_bb=hps.num_bb)
+    img_db_gt = DetectFeatDb(opts.img_db_gt, conf_th=hps.conf_th,
+                             max_bb=hps.max_bb, min_bb=hps.min_bb,
+                             num_bb=hps.num_bb)
+    ds = VcrEvalDataset(opts.split, txt_db, img_db_gt=img_db_gt,
+                        img_db=img_db)
+    loader = BucketLoader(
+        ds, BucketSpec(token_budget=opts.batch_size, size_mul=8),
+        shuffle=False, drop_last=False, collate=VcrEvalDataset.collate)
+
+    batch0 = next(iter(loader))
+    jb0 = {k: jnp.asarray(v) for k, v in jnp_batch(batch0).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb0, False)[
+        "params"]
+    params = infer.load_params(
+        infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
+
+    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    n_qa, n_qar, n_ex = 0, 0, 0
+    rows_out = []
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
+        scores = np.asarray(predict(params, jb))[:, 0]
+        off = 0
+        for i, n_rows in enumerate(batch["n_rows"]):
+            qa_scores = scores[off:off + 4]
+            qar_scores = scores[off + 4:off + n_rows]
+            if opts.split == "val":
+                qa_ok = int(qa_scores.argmax()) == int(
+                    batch["qa_targets"][i])
+                qar_ok = (len(qar_scores) == 4 and int(qar_scores.argmax())
+                          == int(batch["qar_targets"][i]))
+                n_qa += int(qa_ok)
+                n_qar += int(qa_ok and qar_ok)
+            else:
+                # leaderboard: 4 answer probs + 4 groups of 4 rationale probs
+                row = [batch["qids"][i]]
+                row += list(softmax2(qa_scores))
+                for g in range(4):
+                    grp = qar_scores[g * 4:(g + 1) * 4]
+                    row += list(softmax2(grp)) if len(grp) == 4 else [0.25] * 4
+                rows_out.append(row)
+            n_ex += 1
+            off += n_rows
+
+    os.makedirs(opts.output_dir, exist_ok=True)
+    if opts.split == "val":
+        logs = {"qa_acc": n_qa / max(n_ex, 1),
+                "qar_joint_acc": n_qar / max(n_ex, 1), "n_ex": n_ex}
+        LOGGER.info("VCR val: %s", logs)
+        import json
+
+        with open(os.path.join(opts.output_dir, "results_val.json"),
+                  "w") as f:
+            json.dump(logs, f)
+        return logs
+    header = (["annot_id"] + [f"answer_{i}" for i in range(4)]
+              + [f"rationale_conditioned_on_a{g}_{i}"
+                 for g in range(4) for i in range(4)])
+    out_csv = os.path.join(opts.output_dir, f"{opts.split}_submission.csv")
+    with open(out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows_out)
+    LOGGER.info("wrote %d rows to %s", len(rows_out), out_csv)
+    return out_csv
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--txt_db", required=True)
+    parser.add_argument("--img_db", required=True)
+    parser.add_argument("--img_db_gt", required=True)
+    parser.add_argument("--train_dir", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--split", default="val", choices=["val", "test"])
+    parser.add_argument("--batch_size", type=int, default=8192)
+    return parser
+
+
+if __name__ == "__main__":
+    main(get_parser().parse_args())

@@ -1,0 +1,95 @@
+"""VQA inference (reference inf_vqa.py): writes ``results.json``
+[{question_id, answer}] using the ans2label mapping, optionally dumping
+logits npz (inf_vqa.py:85-96)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.img_db import DetectFeatDb
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.data.txt_db import TxtTokDb
+from uniter_tpu.data.vqa import VqaDataset
+from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+from uniter_tpu.training import infer
+from uniter_tpu.training.loop import jnp_batch
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER
+
+
+def main(opts):
+    hps, model_json = infer.load_train_meta(opts.train_dir)
+    cfg = infer.model_config_from_meta(
+        model_json, dtype="float32",
+        attention_impl=getattr(hps, "attention_impl", "xla"))
+    num_answer = hps.num_answer
+    model = UniterForVisualQuestionAnswering(
+        cfg, img_dim=IMG_DIM, num_answer=num_answer)
+
+    if opts.ans2label:
+        with open(opts.ans2label) as f:
+            ans2label = json.load(f)
+    else:
+        ans2label = {str(i): i for i in range(num_answer)}
+    label2ans = {v: k for k, v in ans2label.items()}
+
+    txt_db = TxtTokDb(opts.txt_db, max_txt_len=-1)
+    img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
+                          max_bb=hps.max_bb, min_bb=hps.min_bb,
+                          num_bb=hps.num_bb)
+    ds = VqaDataset(num_answer, txt_db, img_db)
+    loader = BucketLoader(
+        ds, BucketSpec(token_budget=opts.batch_size, size_mul=8),
+        shuffle=False, drop_last=False)
+
+    batch0 = next(iter(loader))
+    jb0 = {k: jnp.asarray(v) for k, v in jnp_batch(batch0).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb0, False)[
+        "params"]
+    params = infer.load_params(
+        infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
+
+    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    results, all_logits = [], {}
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
+        logits = np.asarray(predict(params, jb))
+        n = len(batch["qids"])
+        for qid, row in zip(batch["qids"], logits[:n]):
+            results.append(
+                {"question_id": qid, "answer": label2ans[int(row.argmax())]})
+            if opts.save_logits:
+                all_logits[str(qid)] = row.astype(np.float16)
+
+    os.makedirs(opts.output_dir, exist_ok=True)
+    out = os.path.join(opts.output_dir, "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f)
+    if opts.save_logits:
+        np.savez(os.path.join(opts.output_dir, "logits.npz"), **all_logits)
+    LOGGER.info("wrote %d answers to %s", len(results), out)
+    return out
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--txt_db", required=True)
+    parser.add_argument("--img_db", required=True)
+    parser.add_argument("--train_dir", required=True)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--ans2label", default=None)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--batch_size", type=int, default=8192)
+    parser.add_argument("--save_logits", action="store_true")
+    return parser
+
+
+if __name__ == "__main__":
+    main(get_parser().parse_args())

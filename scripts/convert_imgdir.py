@@ -1,0 +1,53 @@
+"""npz feature dir -> img_db (reference scripts/convert_imgdir.py).
+
+Reads Faster-R-CNN npz dumps (features / norm_bb / conf / soft_labels),
+downcasts fp32 -> fp16 (:41-46), computes nbb under the conf-threshold rule
+(:25), and writes the store + nbb json via uniter_tpu.data.img_db.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from multiprocessing import Pool
+
+import numpy as np
+
+from uniter_tpu.data.img_db import write_img_db
+from uniter_tpu.utils.logger import LOGGER
+
+
+def load_npz(path):
+    name = os.path.basename(path)
+    with np.load(path, allow_pickle=True) as z:
+        rec = {}
+        for k in z.files:
+            arr = z[k]
+            if arr.dtype == np.float32:
+                arr = arr.astype(np.float16)
+            rec[k] = arr
+    return name, rec
+
+
+def main(opts):
+    paths = sorted(glob.glob(os.path.join(opts.img_dir, "*.npz")))
+    LOGGER.info("converting %d npz files", len(paths))
+    with Pool(opts.nproc) as pool:
+        records = dict(pool.map(load_npz, paths))
+    write_img_db(opts.output, records, conf_th=opts.conf_th,
+                 max_bb=opts.max_bb, min_bb=opts.min_bb,
+                 compress=not opts.uncompressed)
+    LOGGER.info("wrote img_db to %s", opts.output)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--img_dir", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--conf_th", type=float, default=0.2)
+    parser.add_argument("--max_bb", type=int, default=100)
+    parser.add_argument("--min_bb", type=int, default=10)
+    parser.add_argument("--nproc", type=int, default=8)
+    parser.add_argument("--uncompressed", action="store_true")
+    main(parser.parse_args())

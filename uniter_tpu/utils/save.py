@@ -65,6 +65,23 @@ class TrainStateSaver:
                                         "step": state.step}),
         )
         self.mngr.wait_until_finished()
+        # weights-only export for inference (the reference's
+        # model_step_{N}.pt analog, utils/save.py:57-69)
+        save_params_msgpack(
+            os.path.join(self.dir, f"model_step_{step}.msgpack"),
+            state.params)
+
+    def latest_params_file(self) -> Optional[str]:
+        import re
+
+        cands = []
+        for f in os.listdir(self.dir):
+            m = re.match(r"model_step_(\d+)\.msgpack", f)
+            if m:
+                cands.append((int(m.group(1)), f))
+        if not cands:
+            return None
+        return os.path.join(self.dir, max(cands)[1])
 
     def latest_step(self) -> Optional[int]:
         return self.mngr.latest_step()
