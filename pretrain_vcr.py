@@ -1,0 +1,158 @@
+"""VCR 2nd-stage pretraining driver (reference pretrain_vcr.py).
+
+Same skeleton as pretrain.py without ITM; dual img_db (gt + det features,
+reference pretrain_vcr.py:92 load_img_feat); model config widened to 4 type
+rows + 81 special word rows with checkpoint surgeries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uniter_tpu.config import IMG_LABEL_DIM
+from uniter_tpu.data.loader import BucketLoader, MetaLoader
+from uniter_tpu.data.pretrain_vcr import (
+    MlmDatasetForVCR, MrcDatasetForVCR, MrfrDatasetForVCR,
+)
+from uniter_tpu.data.vcr import VcrTxtTokDb
+from uniter_tpu.models.pretrain_vcr import UniterForPretrainingForVCR
+from uniter_tpu.models.vcr import NUM_SPECIAL_TOKENS
+from uniter_tpu.training import driver
+from uniter_tpu.training.loop import place_state
+from uniter_tpu.training.optim import build_optimizer
+from uniter_tpu.training.sched import get_lr_schedule
+from uniter_tpu.training.step import TrainState, make_train_step
+from uniter_tpu.utils.const import IMG_DIM
+from uniter_tpu.utils.logger import LOGGER, RunningMeter, TB_LOGGER
+from uniter_tpu.utils.misc import parse_with_config
+from uniter_tpu.utils.save import TrainStateSaver
+
+from uniter_tpu.models.pretrain import UniterForPretraining
+
+
+def build_model_and_params(opts, rng):
+    cfg = driver.model_config_from_opts(opts, type_vocab_size=4)
+    cfg = cfg.replace(vocab_size=cfg.vocab_size + NUM_SPECIAL_TOKENS)
+    model = UniterForPretrainingForVCR(
+        cfg, img_dim=IMG_DIM, img_label_dim=IMG_LABEL_DIM)
+    b, t, r, m = 8, 16, 8, 4
+    init_batch = dict(
+        input_ids=jnp.zeros((b, t), jnp.int32),
+        position_ids=jnp.zeros((b, t), jnp.int32),
+        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
+        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
+        attn_mask=jnp.ones((b, t + r), jnp.int32),
+        mlm_pos=jnp.zeros((b, m), jnp.int32),
+        mrm_pos=jnp.zeros((b, m), jnp.int32),
+    )
+    params = model.init(
+        {"params": rng}, init_batch,
+        method=UniterForPretraining.init_all)["params"]
+    params = driver.load_trunk_checkpoint(
+        params, opts, cfg, n_type_rows=4, type_copy_row=0,
+        n_special_words=NUM_SPECIAL_TOKENS)
+    return model, cfg, params
+
+
+DATASETS = {
+    "mlm": lambda opts, *a, **kw: MlmDatasetForVCR(*a, **kw),
+    "mrfr": lambda opts, *a, **kw: MrfrDatasetForVCR(opts.mrm_prob, *a, **kw),
+    "mrc": lambda opts, *a, **kw: MrcDatasetForVCR(opts.mrm_prob, *a, **kw),
+    "mrc-kl": lambda opts, *a, **kw: MrcDatasetForVCR(
+        opts.mrm_prob, *a, **kw),
+}
+
+
+def main(opts):
+    cfg = driver.model_config_from_opts(opts, type_vocab_size=4)
+    mesh = driver.setup_run(opts, cfg)
+    model, cfg, params = build_model_and_params(
+        opts, jax.random.PRNGKey(opts.seed))
+
+    img_db = driver.open_img_db(opts.train_img_db, opts)
+    img_db_gt = driver.open_img_db(opts.train_img_db_gt, opts)
+    loaders = {}
+    for dset in opts.train_datasets:
+        for task, ratio in zip(dset["tasks"], dset["mix_ratio"]):
+            txt_db = VcrTxtTokDb(dset["db"], max_txt_len=opts.max_txt_len,
+                                 task=dset.get("vcr_task", "qa,qar"))
+            ds = DATASETS[task](opts, txt_db, img_db_gt=img_db_gt,
+                                img_db=img_db)
+            spec = driver.bucket_spec(opts, mesh, ds)
+            loaders[f"{task}_{dset['name']}"] = (
+                BucketLoader(ds, spec, collate=type(ds).collate,
+                             seed=opts.seed, loop=True), ratio)
+    meta = MetaLoader(loaders, accum_steps=opts.gradient_accumulation_steps,
+                      seed=opts.seed)
+
+    tx = build_optimizer(
+        params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
+                                opts.num_train_steps),
+        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
+        grad_norm=opts.grad_norm, optim=opts.optim)
+    state = place_state(TrainState.create(params, tx), mesh)
+    saver = TrainStateSaver(opts.output_dir)
+
+    step_fns = {}
+
+    def get_step(task):
+        if task not in step_fns:
+            def loss_fn(p, batch, rng, _task=task):
+                return model.apply(
+                    {"params": p}, batch, _task, deterministic=False,
+                    rngs={"dropout": rng},
+                    method=UniterForPretraining.scalar_loss)
+            step_fns[task] = make_train_step(
+                loss_fn, mesh=mesh, loss_scale="sum")
+        return step_fns[task]
+
+    task2loss = {}
+    rng = jax.random.PRNGKey(opts.seed)
+    global_step = int(state.step)
+    t_start = time.time()
+    n_ex = 0
+    for name, batch in iter(meta):
+        if global_step >= opts.num_train_steps:
+            break
+        task = name.split("_")[0]
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+        rng, sub = jax.random.split(rng)
+        state, metrics = get_step(task)(state, jb, sub)
+        global_step = int(state.step)
+        n_ex += int(batch["ex_weight"].sum())
+        meter = task2loss.setdefault(name, RunningMeter(f"loss/{name}"))
+        meter(float(metrics["loss"]))
+        if global_step % 100 == 0:
+            TB_LOGGER.log_scalar_dict(
+                {m.name: m.val for m in task2loss.values()
+                 if m.val is not None})
+            TB_LOGGER.add_scalar(
+                "perf/ex_per_s", n_ex / (time.time() - t_start), global_step)
+        if global_step and global_step % opts.valid_steps == 0:
+            saver.save(global_step, state)
+    saver.save(int(state.step), state)
+    return state
+
+
+def get_parser():
+    parser = argparse.ArgumentParser()
+    driver.add_common_args(parser)
+    parser.add_argument("--train_txt_db", type=str)
+    parser.add_argument("--train_img_db", type=str)
+    parser.add_argument("--train_img_db_gt", type=str)
+    parser.add_argument("--train_datasets", type=str, nargs="*")
+    parser.add_argument("--mrm_prob", type=float, default=0.15)
+    parser.set_defaults(learning_rate=5e-5, num_train_steps=60000,
+                        warmup_steps=6000, train_batch_size=10240,
+                        max_txt_len=220)
+    return parser
+
+
+if __name__ == "__main__":
+    main(parse_with_config(get_parser()))

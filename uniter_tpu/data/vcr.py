@@ -63,6 +63,9 @@ class VcrJointDataset(JointDataset):
                      for tl, p in zip(self.txt_lens, self.img_fnames)]
         self._nbbs = [nbb(p) for p in self.img_fnames]
 
+    def size_of(self, i):
+        return self.txt_lens[i] + 2, self._nbbs[i]
+
     def joint_img_feat(self, i):
         pair = self.img_fnames[i]
         feats, poss = [], []
