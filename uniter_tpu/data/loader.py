@@ -83,6 +83,35 @@ class BucketLoader:
         return len(self.sampler)
 
 
+class AccumLoader:
+    """Group ``accum`` same-shape batches into one stacked [accum, ...]
+    batch for scan-based gradient accumulation (training/step.py). Batches
+    are buffered per bucket shape so stacking never mixes shapes."""
+
+    def __init__(self, it, accum: int):
+        self.it = iter(it)
+        self.accum = accum
+
+    def __iter__(self):
+        if self.accum == 1:
+            yield from self.it
+            return
+        buffers: Dict[tuple, list] = {}
+        for batch in self.it:
+            key = tuple(
+                (k, v.shape) for k, v in sorted(batch.items())
+                if isinstance(v, np.ndarray))
+            buf = buffers.setdefault(key, [])
+            buf.append(batch)
+            if len(buf) == self.accum:
+                stacked = {
+                    k: np.stack([b[k] for b in buf])
+                    for k, v in buf[0].items() if isinstance(v, np.ndarray)
+                }
+                buffers[key] = []
+                yield stacked
+
+
 class MetaLoader:
     """Infinite mixed-task iterator: draw task ~ mix_ratio each accumulation
     window, then yield accum_steps batches of it (reference

@@ -60,6 +60,8 @@ class TrainLoop:
         saver=None,
         seed: int = 0,
         loss_scale: str = "sum",
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 15),
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -72,8 +74,15 @@ class TrainLoop:
         self.validate_fn = validate_fn
         self.saver = saver
         self.rng = jax.random.PRNGKey(seed)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        if self.accum > 1:
+            from uniter_tpu.data.loader import AccumLoader
+
+            self.train_loader = AccumLoader(train_loader, self.accum)
         self.step_fn = make_train_step(
-            loss_fn, mesh=mesh, loss_scale=loss_scale, accum_steps=1)
+            loss_fn, mesh=mesh, loss_scale=loss_scale,
+            accum_steps=self.accum)
 
     def run(self):
         state = self.state
@@ -84,8 +93,6 @@ class TrainLoop:
         n_examples = 0
         t_start = time.time()
         it = iter(self.train_loader)
-        grads_pending = None
-        micro = 0
         global_step = start_step
         while global_step < self.num_train_steps:
             batch = next(it)
@@ -95,10 +102,15 @@ class TrainLoop:
             if self.mesh is not None:
                 jb = device_put_batch(jb, self.mesh)
             self.rng, sub = jax.random.split(self.rng)
-            # accumulation: average path — run accum micro-steps through the
-            # single-step fn only when accum == 1; otherwise micro-batching is
-            # expressed by the loader emitting [accum, ...] stacks.
+            if (self.profile_dir is not None
+                    and global_step == self.profile_steps[0]):
+                jax.profiler.start_trace(self.profile_dir)
             state, metrics = self.step_fn(state, jb, sub)
+            if (self.profile_dir is not None
+                    and global_step == self.profile_steps[1]):
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                LOGGER.info("profiler trace written to %s", self.profile_dir)
             global_step = int(state.step)
             meter(float(metrics["loss"]))
             if global_step % self.log_steps == 0:
