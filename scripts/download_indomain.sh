@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Download in-domain pretraining txt/img DBs (reference scripts/download_indomain.sh URLs).
+set -e
+DOWNLOAD=${1:-/db}
+BLOB='https://acvrpublicycchen.blob.core.windows.net/uniter'
+mkdir -p "$DOWNLOAD/txt_db" "$DOWNLOAD/img_db"
+for DB in pretrain_coco pretrain_vg; do
+    wget -nc "$BLOB/txt_db/$DB.tar" -P "$DOWNLOAD/txt_db/"
+    tar -xf "$DOWNLOAD/txt_db/$DB.tar" -C "$DOWNLOAD/txt_db/"
+done
+for IMG in coco_train2014 coco_val2014 vg; do
+    wget -nc "$BLOB/img_db/$IMG.tar" -P "$DOWNLOAD/img_db/"
+    tar -xf "$DOWNLOAD/img_db/$IMG.tar" -C "$DOWNLOAD/img_db/"
+done
