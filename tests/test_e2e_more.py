@@ -1,0 +1,243 @@
+"""Driver smoke tests for RE, VCR fine-tune, ITM, and ITM hard negatives."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _model_cfg(root, vocab=300):
+    cfg = dict(
+        vocab_size=vocab, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+        hidden_act="gelu", initializer_range=0.02,
+    )
+    path = str(root / "model.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+def test_train_re_e2e(tmp_path):
+    from uniter_tpu.data import write_img_db
+    from uniter_tpu.data.txt_db import TxtDb
+    import train_re
+    from uniter_tpu.utils.misc import parse_with_config
+
+    rng = np.random.RandomState(0)
+    n_img = 4
+    img_records, images = {}, []
+    for i in range(n_img):
+        iid = 1000 + i
+        nbb = rng.randint(4, 7)
+        name = f"visual_grounding_coco_gt_{iid:012}.npz"
+        img_records[name] = dict(
+            features=rng.randn(nbb, 2048).astype(np.float16),
+            norm_bb=rng.rand(nbb, 6).astype(np.float16),
+            conf=np.ones(nbb, np.float16),
+            soft_labels=rng.rand(nbb, 1601).astype(np.float16),
+        )
+        images.append(dict(
+            id=iid, file_name=f"{iid}.jpg",
+            ann_ids=[iid * 10 + k for k in range(nbb)],
+            height=480, width=640))
+    img_dir = str(tmp_path / "img")
+    write_img_db(img_dir, img_records, conf_th=0.2, max_bb=10, min_bb=1)
+
+    txt_dir = str(tmp_path / "txt")
+    os.makedirs(txt_dir)
+    db = TxtDb(txt_dir, readonly=False)
+    refs, anns, id2len = [], [], {}
+    sent_counter = 0
+    for i, img in enumerate(images):
+        for k, ann_id in enumerate(img["ann_ids"]):
+            anns.append(dict(id=ann_id, area=100, bbox=[10, 10, 50, 60],
+                             image_id=img["id"], category_id=1, iscrowd=0))
+        ref_sents = []
+        for _ in range(2):
+            sid = sent_counter
+            sent_counter += 1
+            ids = [int(x) for x in rng.randint(110, 300, rng.randint(3, 7))]
+            db[str(sid)] = dict(
+                sent_id=sid, sent="", ref_id=i, ann_id=img["ann_ids"][0],
+                image_id=img["id"], bbox=[10, 10, 50, 60], input_ids=ids)
+            id2len[str(sid)] = len(ids)
+            ref_sents.append(sid)
+        refs.append(dict(ref_id=i, ann_id=img["ann_ids"][0],
+                         image_id=img["id"], split="train",
+                         sent_ids=ref_sents, sentences=[]))
+    for name, obj in (("refs", refs), ("annotations", anns),
+                      ("categories", [dict(id=1, name="obj",
+                                           supercategory="thing")]),
+                      ("images", images), ("id2len", id2len),
+                      ("meta", {"CLS": 101, "SEP": 102, "MASK": 103,
+                                "v_range": [104, 300]})):
+        with open(os.path.join(txt_dir, f"{name}.json"), "w") as f:
+            json.dump(obj, f)
+
+    argv = [
+        "--train_txt_db", txt_dir, "--train_img_db", img_dir,
+        "--val_txt_db", txt_dir, "--val_img_db", img_dir,
+        "--model_config", _model_cfg(tmp_path),
+        "--output_dir", str(tmp_path / "out"),
+        "--train_batch_size", "256", "--val_batch_size", "256",
+        "--num_train_steps", "2", "--valid_steps", "2",
+        "--warmup_steps", "1", "--max_bb", "10", "--min_bb", "1",
+        "--dtype", "float32", "--seed", "1", "--train_loss", "rank",
+    ]
+    opts = parse_with_config(train_re.get_parser(), argv)
+    state = train_re.main(opts)
+    assert int(state.step) == 2
+
+
+@pytest.fixture()
+def itm_env(tmp_path):
+    from uniter_tpu.data import write_img_db, write_txt_db
+
+    rng = np.random.RandomState(0)
+    img_names = [f"flickr_{i:06d}.npz" for i in range(8)]
+    img_records = {}
+    for n in img_names:
+        nbb = rng.randint(4, 8)
+        img_records[n] = dict(
+            features=rng.randn(nbb, 2048).astype(np.float16),
+            norm_bb=rng.rand(nbb, 6).astype(np.float16),
+            conf=np.linspace(1, 0.3, nbb).astype(np.float16),
+            soft_labels=rng.rand(nbb, 1601).astype(np.float16),
+        )
+    img_dir = str(tmp_path / "img")
+    write_img_db(img_dir, img_records, conf_th=0.2, max_bb=8, min_bb=3)
+    meta = {"CLS": 101, "SEP": 102, "MASK": 103, "v_range": [104, 300]}
+    recs, t2i = {}, {}
+    for i in range(16):
+        tid = f"cap_{i}"
+        recs[tid] = dict(
+            input_ids=[int(x) for x in
+                       rng.randint(110, 300, rng.randint(3, 7))],
+            img_fname=img_names[i % 8],
+        )
+        t2i[tid] = img_names[i % 8]
+    txt_dir = str(tmp_path / "txt")
+    write_txt_db(txt_dir, recs, meta, t2i)
+    return dict(txt=txt_dir, img=img_dir, cfg=_model_cfg(tmp_path),
+                root=str(tmp_path))
+
+
+def test_train_itm_e2e(itm_env):
+    import train_itm
+    from uniter_tpu.utils.misc import parse_with_config
+
+    argv = [
+        "--train_txt_db", itm_env["txt"], "--train_img_db", itm_env["img"],
+        "--val_txt_db", itm_env["txt"], "--val_img_db", itm_env["img"],
+        "--model_config", itm_env["cfg"],
+        "--output_dir", itm_env["root"] + "/itm_out",
+        "--train_batch_size", "512", "--num_train_steps", "2",
+        "--valid_steps", "2", "--warmup_steps", "1",
+        "--max_bb", "8", "--min_bb", "3", "--inf_minibatch_size", "8",
+        "--dtype", "float32", "--seed", "1",
+    ]
+    opts = parse_with_config(train_itm.get_parser(), argv)
+    state = train_itm.main(opts)
+    assert int(state.step) == 2
+
+
+def test_train_itm_hard_negatives_e2e(itm_env):
+    import train_itm_hard_negatives as hn
+    from uniter_tpu.utils.misc import parse_with_config
+
+    argv = [
+        "--train_txt_db", itm_env["txt"], "--train_img_db", itm_env["img"],
+        "--val_txt_db", itm_env["txt"], "--val_img_db", itm_env["img"],
+        "--model_config", itm_env["cfg"],
+        "--output_dir", itm_env["root"] + "/hn_out",
+        "--negative_size", "7", "--hard_neg_size", "3",
+        "--num_train_steps", "2", "--valid_steps", "2",
+        "--warmup_steps", "1", "--train_batch_size", "2",
+        "--max_bb", "8", "--min_bb", "3", "--inf_minibatch_size", "8",
+        "--txt_bucket", "16", "--img_bucket", "8",
+        "--dtype", "float32", "--seed", "1",
+    ]
+    opts = parse_with_config(hn.get_parser(), argv)
+    state = hn.main(opts)
+    assert int(state.step) == 2
+
+
+def test_train_vcr_e2e(tmp_path, request):
+    # reuse the vcr fixture machinery from test_vcr_pipeline via import
+    from tests.test_vcr_pipeline import vcr_env as vcr_fixture  # noqa
+    pytest.skip("covered by test_vcr_pipeline pretrain e2e; fine-tune "
+                "driver exercised in test_vcr_finetune below")
+
+
+def test_vcr_finetune_e2e(tmp_path):
+    import train_vcr
+    from uniter_tpu.utils.misc import parse_with_config
+    from uniter_tpu.data import write_img_db
+    from uniter_tpu.data.txt_db import TxtDb
+
+    rng = np.random.RandomState(0)
+
+    def mk_img(subdir, names):
+        recs = {}
+        for n in names:
+            nbb = rng.randint(4, 7)
+            recs[n] = dict(
+                features=rng.randn(nbb, 2048).astype(np.float16),
+                norm_bb=rng.rand(nbb, 6).astype(np.float16),
+                conf=np.linspace(1, 0.3, nbb).astype(np.float16),
+                soft_labels=rng.rand(nbb, 1601).astype(np.float16))
+        d = str(tmp_path / subdir)
+        write_img_db(d, recs, conf_th=0.2, max_bb=8, min_bb=3)
+        return d
+
+    gt_names = [f"g{i}.npz" for i in range(4)]
+    det_names = [f"d{i}.npz" for i in range(4)]
+    img_gt, img_det = mk_img("gt", gt_names), mk_img("det", det_names)
+
+    txt_dir = str(tmp_path / "txt")
+    os.makedirs(txt_dir)
+    db = TxtDb(txt_dir, readonly=False)
+    id2len_qa, id2len_qar, t2i = {}, {}, {}
+    for i in range(8):
+        tid = f"v{i}"
+        q = [int(x) for x in rng.randint(110, 280, 5)]
+        db[tid] = dict(
+            input_ids=q,
+            input_ids_as=[[int(x) for x in rng.randint(110, 280, 3)]
+                          for _ in range(4)],
+            input_ids_rs=[[int(x) for x in rng.randint(110, 280, 4)]
+                          for _ in range(4)],
+            qa_target=i % 4, qar_target=(i + 1) % 4,
+            img_fname=[gt_names[i % 4], det_names[i % 4]])
+        id2len_qa[tid] = 10
+        id2len_qar[tid] = 15
+        t2i[tid] = [gt_names[i % 4], det_names[i % 4]]
+    for name, obj in (("id2len_qa", id2len_qa), ("id2len_qar", id2len_qar),
+                      ("txt2img", t2i),
+                      ("meta", {"CLS": 101, "SEP": 102, "MASK": 103,
+                                "v_range": [104, 281]})):
+        with open(os.path.join(txt_dir, f"{name}.json"), "w") as f:
+            json.dump(obj, f)
+    with open(os.path.join(txt_dir, "img2txts.json"), "w") as f:
+        json.dump({}, f)
+
+    argv = [
+        "--train_txt_db", txt_dir, "--train_img_db", img_det,
+        "--train_img_db_gt", img_gt,
+        "--val_txt_db", txt_dir, "--val_img_db", img_det,
+        "--val_img_db_gt", img_gt,
+        "--model_config", _model_cfg(tmp_path, vocab=281),
+        "--output_dir", str(tmp_path / "vout"),
+        "--tasks", "qa",
+        "--train_batch_size", "512", "--val_batch_size", "512",
+        "--num_train_steps", "2", "--valid_steps", "2",
+        "--warmup_steps", "1", "--max_bb", "8", "--min_bb", "3",
+        "--dtype", "float32", "--seed", "1",
+    ]
+    opts = parse_with_config(train_vcr.get_parser(), argv)
+    state = train_vcr.main(opts)
+    assert int(state.step) == 2
