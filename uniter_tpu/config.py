@@ -48,6 +48,10 @@ class UniterConfig:
     layer_norm_eps: float = 1e-12
     # Rematerialize each encoder layer in the backward pass.
     remat: bool = False
+    # Unroll factor for the scanned encoder (1 = pure scan; num_hidden_layers
+    # = fully unrolled, letting XLA fuse across layer boundaries at higher
+    # compile cost).
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:

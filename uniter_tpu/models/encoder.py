@@ -284,6 +284,7 @@ class UniterEncoder(nn.Module):
             split_rngs={"params": True, "dropout": True},
             length=cfg.num_hidden_layers,
             in_axes=(nn.broadcast,),
+            unroll=cfg.scan_unroll,
         )
         hidden, _ = scan(cfg, deterministic, name="layer")(hidden, bias)
         return hidden

@@ -28,12 +28,13 @@ def decay_mask(params):
 
     def f(path, _):
         p = _path_str(path)
-        if p.endswith("/bias") or p == "bias":
+        # reference matches by substring: any param whose name contains
+        # 'bias' (incl. in_proj_bias), plus LayerNorm weight/bias
+        if "bias" in p.rsplit("/", 1)[-1]:
             return False
-        # our LayerNorm modules hold params named weight/bias
-        if "LayerNorm" in p or "layer_norm" in p or p.endswith("_ln/weight"):
+        if "LayerNorm" in p or "layer_norm" in p or "_ln" in p:
             return False
-        if p.endswith("/weight"):  # only LN uses 'weight'; Dense uses kernel
+        if p.endswith("/weight"):  # only LN params are named 'weight'
             return False
         return True
 
