@@ -21,15 +21,11 @@ from uniter_tpu.data.nlvr2 import Nlvr2PairedDataset, Nlvr2TripletDataset
 from uniter_tpu.data.txt_db import TxtTokDb
 from uniter_tpu.models import checkpoint as ckpt_lib
 from uniter_tpu.models.nlvr2 import MODEL_REGISTRY
-from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
-from uniter_tpu.training.loop import TrainLoop, jnp_batch, place_state
-from uniter_tpu.training.optim import build_optimizer
-from uniter_tpu.training.sched import get_lr_schedule
-from uniter_tpu.training.step import TrainState
+from uniter_tpu.training import driver
+from uniter_tpu.training.loop import jnp_batch
 from uniter_tpu.utils.const import IMG_DIM
-from uniter_tpu.utils.logger import LOGGER, TB_LOGGER, add_log_to_file
-from uniter_tpu.utils.misc import parse_with_config, set_random_seed
-from uniter_tpu.utils.save import TrainStateSaver, save_training_meta
+from uniter_tpu.utils.logger import LOGGER
+from uniter_tpu.utils.misc import parse_with_config
 
 
 def build_dataset(txt_path, img_path, opts, is_train):
@@ -97,16 +93,9 @@ def validate(model, params, loader, paired: bool):
 
 
 def main(opts):
-    set_random_seed(opts.seed)
-    os.makedirs(opts.output_dir, exist_ok=True)
-    mesh = make_mesh(MeshConfig(data=-1))
-    LOGGER.info("mesh: %s", mesh)
-
     model, model_cfg, params = build_model_and_params(
         opts, jax.random.PRNGKey(opts.seed))
-    save_training_meta(opts.output_dir, opts, model_cfg.to_dict())
-    TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
-    add_log_to_file(os.path.join(opts.output_dir, "log", "log.txt"))
+    mesh = driver.setup_run(opts, model_cfg)
 
     train_ds = build_dataset(opts.train_txt_db, opts.train_img_db, opts, True)
     dp = mesh.shape["data"]
@@ -119,13 +108,6 @@ def main(opts):
         val_ds, BucketSpec(token_budget=opts.val_batch_size,
                            size_mul=size_mul),
         shuffle=False, drop_last=False)
-
-    tx = build_optimizer(
-        params, get_lr_schedule(
-            opts.learning_rate, opts.warmup_steps, opts.num_train_steps),
-        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
-        grad_norm=opts.grad_norm, optim=opts.optim)
-    state = place_state(TrainState.create(params, tx), mesh)
 
     paired = opts.model in ("paired", "paired-attn")
 
@@ -141,22 +123,14 @@ def main(opts):
             loss = jnp.mean(per_ex)
         return loss, {}
 
-    saver = TrainStateSaver(opts.output_dir)
-
     def validate_fn(state, step):
         logs = validate(model, state.params, val_loader, paired)
         LOGGER.info("step %d: val acc %.4f", step, logs["acc"])
         return logs
 
-    loop = TrainLoop(
-        loss_fn=loss_fn, state=state, train_loader=train_loader, mesh=mesh,
-        num_train_steps=opts.num_train_steps,
-        gradient_accumulation_steps=opts.gradient_accumulation_steps,
-        valid_steps=opts.valid_steps, validate_fn=validate_fn, saver=saver,
-        seed=opts.seed)
-    state = loop.run()
-    LOGGER.info("training finished at step %d", int(state.step))
-    return state
+    return driver.run_training(
+        opts, model=model, params=params, loss_fn=loss_fn,
+        train_loader=train_loader, mesh=mesh, validate_fn=validate_fn)
 
 
 def get_parser():
