@@ -39,9 +39,7 @@ def build_dataset(txt_path, img_path, opts, is_train):
 
 
 def build_model_and_params(opts, rng):
-    model_cfg = UniterConfig.from_json_file(
-        opts.model_config, type_vocab_size=3,
-        dtype=opts.dtype, attention_impl=opts.attention_impl)
+    model_cfg = driver.model_config_from_opts(opts, type_vocab_size=3)
     model = MODEL_REGISTRY[opts.model](model_cfg, img_dim=IMG_DIM)
     t, r = 16, 8
     b = 4 if opts.model == "triplet" else 8

@@ -112,9 +112,22 @@ def load_trunk_checkpoint(params, opts, model_cfg, *,
 
 
 def model_config_from_opts(opts, **overrides) -> UniterConfig:
-    return UniterConfig.from_json_file(
+    cfg = UniterConfig.from_json_file(
         opts.model_config, dtype=opts.dtype,
         attention_impl=opts.attention_impl, **overrides)
+    # --dropout overrides both dropout rates (reference utils/misc.py:57-63
+    # set_dropout applied by every driver)
+    drop = getattr(opts, "dropout", None)
+    if drop is not None:
+        cfg = cfg.replace(hidden_dropout_prob=drop,
+                          attention_probs_dropout_prob=drop)
+    # fully unroll the scanned encoder on accelerators (measured +17% on
+    # v5e); keep scan on CPU where compile time dominates tests
+    import jax
+
+    if jax.default_backend() != "cpu":
+        cfg = cfg.replace(scan_unroll=cfg.num_hidden_layers)
+    return cfg
 
 
 def setup_run(opts, model_cfg) -> tuple:

@@ -29,6 +29,14 @@ def place_state(state: TrainState, mesh) -> TrainState:
     return jax.device_put(state, rep)
 
 
+def default_prng_key(seed: int):
+    """Hardware RNG (rbg) on accelerators — threefry dropout-mask generation
+    costs ~25% of a base-model train step on v5e; threefry on CPU for
+    deterministic tests."""
+    impl = "threefry2x32" if jax.default_backend() == "cpu" else "rbg"
+    return jax.random.key(seed, impl=impl)
+
+
 def device_put_batch(batch: Dict[str, Any], mesh):
     bsh = batch_sharding(mesh)
     out = {}
@@ -73,7 +81,7 @@ class TrainLoop:
         self.log_steps = log_steps
         self.validate_fn = validate_fn
         self.saver = saver
-        self.rng = jax.random.PRNGKey(seed)
+        self.rng = default_prng_key(seed)
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
         if self.accum > 1:
