@@ -92,6 +92,62 @@ def create_dataloaders(datasets_cfg, opts, mesh) -> Dict[str, tuple]:
     return out
 
 
+def validate(model, params, val_loaders):
+    """Per-task validation (reference pretrain.py:364-544): MLM acc, MRFR
+    per-feature loss, MRC(-kl) acc, ITM acc."""
+    logs = {}
+    for name, loader in val_loaders.items():
+        task = name.split("_")[0]
+        n_correct, n_word, loss_sum = 0, 0, 0.0
+        if task.startswith("itm"):
+            pred = jax.jit(
+                lambda p, b: model.apply(
+                    {"params": p}, b, False, False, deterministic=True,
+                    method=UniterForPretraining.forward_itm))
+        else:
+            pred = jax.jit(
+                lambda p, b, t=task: model.apply(
+                    {"params": p}, b, t, False, deterministic=True))
+        for batch in loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+            out = pred(params, jb)
+            if task == "mlm":
+                logits = np.asarray(out)  # [B, M, V]
+                tgt = np.asarray(batch["mlm_tgt"])
+                valid = tgt != -1
+                n_correct += int((logits.argmax(-1) == tgt)[valid].sum())
+                n_word += int(valid.sum())
+            elif task == "mrfr":
+                pred_feat = np.asarray(out)
+                tgtf = np.asarray(batch["feat_targets"])
+                w = np.asarray(batch["mrm_valid"])[..., None]
+                loss_sum += float((np.square(pred_feat - tgtf) * w).sum()
+                                  / pred_feat.shape[-1])
+                n_word += int(w.sum())
+            elif task.startswith("mrc"):
+                logits = np.asarray(out)  # [B, Mr, L]
+                tgt = np.asarray(batch["label_targets"])
+                valid = np.asarray(batch["mrm_valid"]) > 0
+                # acc vs argmax of soft label, background excluded
+                # (reference pretrain.py:480-490)
+                lab = tgt[..., 1:].argmax(-1) + 1
+                n_correct += int((logits.argmax(-1) == lab)[valid].sum())
+                n_word += int(valid.sum())
+            elif task.startswith("itm"):
+                scores, _ = out
+                scores = np.asarray(scores)
+                tgt = np.asarray(batch["targets"])
+                valid = tgt != -1
+                n_correct += int((scores.argmax(-1) == tgt)[valid].sum())
+                n_word += int(valid.sum())
+        if task == "mrfr":
+            logs[f"{name}_loss"] = loss_sum / max(n_word, 1)
+        else:
+            logs[f"{name}_acc"] = n_correct / max(n_word, 1)
+    return logs
+
+
 def main(opts):
     cfg = driver.model_config_from_opts(opts)
     mesh = driver.setup_run(opts, cfg)
@@ -101,6 +157,13 @@ def main(opts):
     loaders = create_dataloaders(opts.train_datasets, opts, mesh)
     meta = MetaLoader(loaders, accum_steps=opts.gradient_accumulation_steps,
                       seed=opts.seed)
+    val_loaders = {}
+    if opts.val_datasets:
+        raw = create_dataloaders(opts.val_datasets, opts, mesh)
+        for name, (loader, _ratio) in raw.items():
+            loader.loop = False
+            loader.sampler.shuffle = False
+            val_loaders[name] = loader
 
     tx = build_optimizer(
         params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
@@ -162,6 +225,11 @@ def main(opts):
                         {m.name: round(m.val, 4) for m in task2loss.values()
                          if m.val is not None})
         if global_step and global_step % opts.valid_steps == 0:
+            if val_loaders:
+                logs = validate(model, state.params, val_loaders)
+                LOGGER.info("step %d validation: %s", global_step, logs)
+                TB_LOGGER.log_scalar_dict(
+                    {f"valid/{k}": v for k, v in logs.items()})
             saver.save(global_step, state)
     saver.save(int(state.step), state)
     return state

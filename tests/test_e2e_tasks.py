@@ -94,5 +94,10 @@ def test_pretrain_e2e(env):
          "tasks": ["mlm", "itm", "mrfr", "mrc-kl"],
          "mix_ratio": [2, 2, 1, 1]},
     ]
+    opts.val_datasets = [
+        {"name": "synth", "db": env["txt"], "img": env["img"],
+         "tasks": ["mlm", "itm", "mrfr", "mrc-kl"],
+         "mix_ratio": [1, 1, 1, 1]},
+    ]
     state = pretrain.main(opts)
     assert int(state.step) == 6
