@@ -70,6 +70,7 @@ class TrainLoop:
         loss_scale: str = "sum",
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
+        prefetch: int = 2,
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -84,6 +85,7 @@ class TrainLoop:
         self.rng = default_prng_key(seed)
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
+        self.prefetch = prefetch
         if self.accum > 1:
             from uniter_tpu.data.loader import AccumLoader
 
@@ -100,15 +102,32 @@ class TrainLoop:
             LOGGER.info("resuming from step %d", start_step)
         n_examples = 0
         t_start = time.time()
-        it = iter(self.train_loader)
+        def host_weight(batch):
+            return int(batch.get(
+                "ex_weight", np.ones(batch["input_ids"].shape[:1])).sum())
+
+        if self.prefetch > 0 and self.mesh is not None:
+            # overlap host->device transfer with compute (the reference's
+            # CUDA-stream PrefetchLoader role, data/loader.py:87-142)
+            from uniter_tpu.data.loader import DevicePrefetcher
+
+            def put(batch):
+                return (host_weight(batch),
+                        device_put_batch(jnp_batch(batch), self.mesh))
+
+            it = DevicePrefetcher(iter(self.train_loader), put,
+                                  depth=self.prefetch)
+        else:
+            it = (
+                (host_weight(b),
+                 device_put_batch(jnp_batch(b), self.mesh)
+                 if self.mesh is not None else jnp_batch(b))
+                for b in self.train_loader
+            )
         global_step = start_step
         while global_step < self.num_train_steps:
-            batch = next(it)
-            n_examples += int(batch.get(
-                "ex_weight", np.ones(batch["input_ids"].shape[:1])).sum())
-            jb = jnp_batch(batch)
-            if self.mesh is not None:
-                jb = device_put_batch(jb, self.mesh)
+            n_ex, jb = next(it)
+            n_examples += n_ex
             self.rng, sub = jax.random.split(self.rng)
             if (self.profile_dir is not None
                     and global_step == self.profile_steps[0]):
