@@ -82,7 +82,8 @@ def create_dataloaders(datasets_cfg, opts, mesh) -> Dict[str, tuple]:
             parts = []
             for txt_path, img_dir in zip(txt_dbs, img_dirs):
                 txt_db = TxtTokDb(txt_path, max_txt_len=opts.max_txt_len)
-                parts.append(build(txt_db, img_group[img_dir], opts))
+                ds = build(txt_db, img_group[img_dir], opts)
+                parts.append(ds)
             ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
             spec = driver.bucket_spec(opts, mesh, ds)
             collate = type(parts[0]).collate

@@ -72,7 +72,8 @@ def main(opts):
     txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
     img_db = driver.open_img_db(opts.train_img_db, opts)
     train_ds = ItmRankDataset(txt_db, img_db,
-                              neg_sample_size=opts.negative_size)
+                              neg_sample_size=opts.negative_size,
+                              **driver.shard_kw())
     sample_size = 1 + 2 * opts.negative_size
     train_ds.rows_per_example = sample_size
     spec = driver.bucket_spec(opts, mesh, train_ds)

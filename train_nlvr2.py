@@ -35,7 +35,8 @@ def build_dataset(txt_path, img_path, opts, is_train):
         min_bb=opts.min_bb, num_bb=opts.num_bb)
     cls = (Nlvr2PairedDataset if opts.model in ("paired", "paired-attn")
            else Nlvr2TripletDataset)
-    return cls(txt_db, img_db, use_img_type=opts.use_img_type)
+    kw = driver.shard_kw() if is_train else {}
+    return cls(txt_db, img_db, use_img_type=opts.use_img_type, **kw)
 
 
 def build_model_and_params(opts, rng):

@@ -83,3 +83,52 @@ def param_sharding(params: Any, mesh: Mesh,
         ),
         params,
     )
+
+
+# Tensor-parallel rules for the encoder (Megatron-style): QKV and FFN-in
+# kernels column-sharded over 'model' (heads / intermediate split), output
+# projections row-sharded; XLA inserts the psum on the row-sharded matmuls.
+# The reference has no TP (SURVEY §2c — model <= 330M params); this enables
+# the mesh's 'model' axis for uniter-large and beyond.
+_TP_COL = ("attention/query/kernel", "attention/key/kernel",
+           "attention/value/kernel", "intermediate_dense/kernel")
+_TP_ROW = ("attention/output_dense/kernel", "output_dense/kernel")
+_TP_COL_BIAS = ("attention/query/bias", "attention/key/bias",
+                "attention/value/bias", "intermediate_dense/bias")
+
+
+def _tp_spec(path: str, shape, mesh: Mesh) -> P:
+    n = mesh.shape["model"]
+    ndim = len(shape)
+    for pat in _TP_COL:
+        if path.endswith(pat) and shape[-1] % n == 0:
+            return P(*([None] * (ndim - 1) + ["model"]))
+    for pat in _TP_ROW:
+        # row-sharded: the contract dim (axis -2 of the kernel) is split;
+        # covers both the attention output proj [H, H] and FFN out [4H, H]
+        if path.endswith(pat) and ndim >= 2 and shape[-2] % n == 0:
+            return P(*([None] * (ndim - 2) + ["model", None]))
+    for pat in _TP_COL_BIAS:
+        if path.endswith(pat) and shape[-1] % n == 0:
+            return P(*([None] * (ndim - 1) + ["model"]))
+    return P()
+
+
+def param_sharding_tp(params: Any, mesh: Mesh):
+    """Megatron-style TP specs over the 'model' axis (replicated elsewhere).
+    Compose with FSDP by passing a mesh with both axes sized > 1."""
+    from uniter_tpu.models.checkpoint import flatten, unflatten  # path utils
+
+    flat = flatten(params)
+    specs = {
+        path: NamedSharding(mesh, _tp_spec(path, leaf.shape, mesh))
+        for path, leaf in flat.items()
+    }
+    out = {}
+    for path, s in specs.items():
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = s
+    return out

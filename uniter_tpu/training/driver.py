@@ -66,6 +66,13 @@ def add_common_args(parser: argparse.ArgumentParser):
     return parser
 
 
+def shard_kw() -> dict:
+    """Multi-host dataset sharding (replaces the reference's
+    ids[hvd.rank()::hvd.size()], data/data.py:218-225)."""
+    return dict(shard_index=jax.process_index(),
+                shard_count=jax.process_count())
+
+
 def open_img_db(path, opts, compress=True) -> DetectFeatDb:
     return DetectFeatDb(
         path, conf_th=opts.conf_th, max_bb=opts.max_bb, min_bb=opts.min_bb,
