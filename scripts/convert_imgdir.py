@@ -10,12 +10,16 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import sys
 from multiprocessing import Pool
 
 import numpy as np
 
-from uniter_tpu.data.img_db import write_img_db
-from uniter_tpu.utils.logger import LOGGER
+# allow `python scripts/convert_imgdir.py` without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uniter_tpu.data.img_db import write_img_db  # noqa: E402
+from uniter_tpu.utils.logger import LOGGER  # noqa: E402
 
 
 def load_npz(path):

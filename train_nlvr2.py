@@ -146,7 +146,7 @@ def get_parser():
     parser.add_argument("--model", default="paired-attn",
                         choices=list(MODEL_REGISTRY))
     parser.add_argument("--use_img_type", action="store_true", default=True)
-    parser.add_argument("--output_dir", required=True, type=str)
+    parser.add_argument("--output_dir", default=None, type=str)
     parser.add_argument("--max_txt_len", type=int, default=60)
     parser.add_argument("--conf_th", type=float, default=0.2)
     parser.add_argument("--max_bb", type=int, default=100)

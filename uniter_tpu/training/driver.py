@@ -37,7 +37,7 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--config", type=str)
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--model_config", type=str)
-    parser.add_argument("--output_dir", required=True, type=str)
+    parser.add_argument("--output_dir", default=None, type=str)
     parser.add_argument("--max_txt_len", type=int, default=60)
     parser.add_argument("--conf_th", type=float, default=0.2)
     parser.add_argument("--max_bb", type=int, default=100)

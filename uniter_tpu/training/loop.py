@@ -155,7 +155,8 @@ class TrainLoop:
                     logs = self.validate_fn(state, global_step)
                     if logs:
                         TB_LOGGER.log_scalar_dict(
-                            {f"valid/{k}": v for k, v in logs.items()})
+                            {f"valid/{k}": v for k, v in logs.items()},
+                            step=global_step)
                 if self.saver is not None:
                     self.saver.save(global_step, state)
         if self.saver is not None and int(state.step) % max(

@@ -68,14 +68,15 @@ class TensorboardLogger:
             with self._writer.as_default():
                 tf.summary.scalar(name, v, step=step)
 
-    def log_scalar_dict(self, log: Dict[str, float], prefix: str = ""):
+    def log_scalar_dict(self, log: Dict[str, float], prefix: str = "",
+                        step: Optional[int] = None):
         if prefix:
             prefix = f"{prefix}_"
         for name, value in log.items():
             if isinstance(value, dict):
-                self.log_scalar_dict(value, f"{prefix}{name}")
+                self.log_scalar_dict(value, f"{prefix}{name}", step)
             else:
-                self.add_scalar(f"{prefix}{name}", value)
+                self.add_scalar(f"{prefix}{name}", value, step)
 
 
 TB_LOGGER = TensorboardLogger()
