@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Download vqa txt/img DBs (reference scripts/download_vqa.sh URLs).
+set -e
+DOWNLOAD=${1:-/db}
+BLOB='https://acvrpublicycchen.blob.core.windows.net/uniter'
+mkdir -p "$DOWNLOAD/txt_db" "$DOWNLOAD/img_db"
+for DB in vqa_train vqa_trainval vqa_devval vqa_test; do
+    wget -nc "$BLOB/txt_db/$DB.db.tar" -P "$DOWNLOAD/txt_db/"
+    tar -xf "$DOWNLOAD/txt_db/$DB.db.tar" -C "$DOWNLOAD/txt_db/"
+done
+for IMG in coco_train2014 coco_val2014 coco_test2015 vg; do
+    wget -nc "$BLOB/img_db/$IMG.tar" -P "$DOWNLOAD/img_db/"
+    tar -xf "$DOWNLOAD/img_db/$IMG.tar" -C "$DOWNLOAD/img_db/"
+done
