@@ -15,9 +15,7 @@ import numpy as np
 from uniter_tpu.data.buckets import BucketSpec
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.vcr import VcrEvalDataset, VcrTxtTokDb
-from uniter_tpu.models.vcr import (
-    NUM_SPECIAL_TOKENS, UniterForVisualCommonsenseReasoning,
-)
+from uniter_tpu.models.vcr import UniterForVisualCommonsenseReasoning
 from uniter_tpu.training import infer
 from uniter_tpu.training.loop import jnp_batch
 from uniter_tpu.utils.const import IMG_DIM

@@ -28,7 +28,7 @@ from uniter_tpu.training.optim import build_optimizer
 from uniter_tpu.training.sched import get_lr_schedule
 from uniter_tpu.training.step import TrainState, make_train_step
 from uniter_tpu.utils.const import IMG_DIM
-from uniter_tpu.utils.logger import LOGGER, RunningMeter, TB_LOGGER
+from uniter_tpu.utils.logger import RunningMeter, TB_LOGGER
 from uniter_tpu.utils.misc import parse_with_config
 from uniter_tpu.utils.save import TrainStateSaver
 

@@ -16,15 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uniter_tpu.data.buckets import BucketSpec
 from uniter_tpu.data.itm import (
     ItmRankDatasetHardNegFromImage, ItmRankDatasetHardNegFromText,
     ItmValDataset, hard_neg_collate,
 )
 from uniter_tpu.data.txt_db import TxtTokDb
-from uniter_tpu.models.itm import (
-    UniterForImageTextRetrievalHardNeg, init_rank_output_from_itm,
-)
+from uniter_tpu.models.itm import UniterForImageTextRetrievalHardNeg
 from uniter_tpu.training import driver
 from uniter_tpu.training.optim import build_optimizer
 from uniter_tpu.training.sched import get_lr_schedule

@@ -7,13 +7,11 @@ Usage: python train_nlvr2.py --config configs/train-nlvr2-base-1gpu.json
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uniter_tpu.config import UniterConfig
 from uniter_tpu.data.buckets import BucketSpec
 from uniter_tpu.data.img_db import DetectFeatDb
 from uniter_tpu.data.loader import BucketLoader

@@ -13,7 +13,7 @@ data/sampler.py:64-121) pads to divisibility and strides by shard.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -12,9 +12,7 @@
 
 from __future__ import annotations
 
-import json
-import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -23,7 +23,6 @@ and the flax-side layout transforms:
 from __future__ import annotations
 
 import logging
-import re
 from typing import Any, Dict, List, Tuple
 
 import jax.numpy as jnp

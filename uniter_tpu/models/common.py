@@ -2,9 +2,6 @@
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-
 def encode_batch(uniter, batch, deterministic=True):
     """Run the UniterModel trunk on the canonical batch dict.
 

@@ -18,7 +18,7 @@ Axes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
@@ -117,7 +117,7 @@ def _tp_spec(path: str, shape, mesh: Mesh) -> P:
 def param_sharding_tp(params: Any, mesh: Mesh):
     """Megatron-style TP specs over the 'model' axis (replicated elsewhere).
     Compose with FSDP by passing a mesh with both axes sized > 1."""
-    from uniter_tpu.models.checkpoint import flatten, unflatten  # path utils
+    from uniter_tpu.models.checkpoint import flatten  # path utils
 
     flat = flatten(params)
     specs = {

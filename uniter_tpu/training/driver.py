@@ -20,14 +20,12 @@ import numpy as np
 from uniter_tpu.config import UniterConfig
 from uniter_tpu.data.buckets import BucketSpec
 from uniter_tpu.data.img_db import DetectFeatDb
-from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.models import checkpoint as ckpt_lib
 from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
-from uniter_tpu.training.loop import TrainLoop, jnp_batch, place_state
+from uniter_tpu.training.loop import TrainLoop, place_state
 from uniter_tpu.training.optim import build_optimizer
 from uniter_tpu.training.sched import get_lr_schedule
 from uniter_tpu.training.step import TrainState
-from uniter_tpu.utils.const import IMG_DIM
 from uniter_tpu.utils.logger import LOGGER, TB_LOGGER, add_log_to_file
 from uniter_tpu.utils.misc import set_random_seed
 from uniter_tpu.utils.save import TrainStateSaver, save_training_meta

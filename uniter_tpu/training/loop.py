@@ -16,7 +16,6 @@ import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from uniter_tpu.parallel.mesh import batch_sharding, replicate

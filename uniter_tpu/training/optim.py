@@ -12,7 +12,7 @@ which is mathematically identical to a separate param group with
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import optax

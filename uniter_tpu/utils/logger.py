@@ -14,7 +14,6 @@ import json
 import logging
 import math
 import os
-import sys
 from typing import Dict, Optional
 
 _LOG_FMT = "%(asctime)s - %(levelname)s - %(name)s -   %(message)s"
