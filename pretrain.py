@@ -36,6 +36,17 @@ from uniter_tpu.utils.misc import parse_with_config
 from uniter_tpu.utils.save import TrainStateSaver
 
 
+def _load_pretrain_heads(params, sd):
+    """Restore MLM/MRFR/MRC/ITM head tensors when present in the checkpoint
+    (continuing pretraining; reference from_pretrained loads them too)."""
+    from uniter_tpu.models import checkpoint as ckpt_lib
+
+    flat = ckpt_lib.pretrain_head_params_from_state_dict(sd)
+    params, filled = ckpt_lib.merge_into_params(params, flat,
+                                                strict_shapes=False)
+    return params
+
+
 def build_model_and_params(opts, rng):
     cfg = driver.model_config_from_opts(opts)
     model = UniterForPretraining(
@@ -53,7 +64,8 @@ def build_model_and_params(opts, rng):
     params = model.init(
         {"params": rng}, init_batch,
         method=UniterForPretraining.init_all)["params"]
-    params = driver.load_trunk_checkpoint(params, opts, cfg)
+    params = driver.load_trunk_checkpoint(
+        params, opts, cfg, extra_map=_load_pretrain_heads)
     return model, cfg, params
 
 

@@ -35,6 +35,17 @@ from uniter_tpu.utils.save import TrainStateSaver
 from uniter_tpu.models.pretrain import UniterForPretraining
 
 
+def _load_pretrain_heads(params, sd):
+    """Restore MLM/MRFR/MRC/ITM head tensors when present in the checkpoint
+    (continuing pretraining; reference from_pretrained loads them too)."""
+    from uniter_tpu.models import checkpoint as ckpt_lib
+
+    flat = ckpt_lib.pretrain_head_params_from_state_dict(sd)
+    params, filled = ckpt_lib.merge_into_params(params, flat,
+                                                strict_shapes=False)
+    return params
+
+
 def build_model_and_params(opts, rng):
     cfg = driver.model_config_from_opts(opts, type_vocab_size=4)
     cfg = cfg.replace(vocab_size=cfg.vocab_size + NUM_SPECIAL_TOKENS)
@@ -55,7 +66,7 @@ def build_model_and_params(opts, rng):
         method=UniterForPretraining.init_all)["params"]
     params = driver.load_trunk_checkpoint(
         params, opts, cfg, n_type_rows=4, type_copy_row=0,
-        n_special_words=NUM_SPECIAL_TOKENS)
+        n_special_words=NUM_SPECIAL_TOKENS, extra_map=_load_pretrain_heads)
     return model, cfg, params
 
 

@@ -206,6 +206,39 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return normalize_state_dict(sd)
 
 
+# Pretraining-head keys (reference model/pretrain.py:50-63 module names) ->
+# flax paths, for continuing pretraining from released checkpoints.
+_PRETRAIN_HEAD_MAP = {
+    "cls/transform/dense/kernel": ("cls.predictions.transform.dense.weight", "linear_w"),
+    "cls/transform/dense/bias": ("cls.predictions.transform.dense.bias", "raw"),
+    "cls/transform/LayerNorm/weight": ("cls.predictions.transform.LayerNorm.weight", "raw"),
+    "cls/transform/LayerNorm/bias": ("cls.predictions.transform.LayerNorm.bias", "raw"),
+    "cls/bias": ("cls.predictions.bias", "raw"),
+    "feat_regress/net_dense/kernel": ("feat_regress.net.0.weight", "linear_w"),
+    "feat_regress/net_dense/bias": ("feat_regress.net.0.bias", "raw"),
+    "feat_regress/net_ln/weight": ("feat_regress.net.2.weight", "raw"),
+    "feat_regress/net_ln/bias": ("feat_regress.net.2.bias", "raw"),
+    "feat_regress/bias": ("feat_regress.bias", "raw"),
+    "region_classifier/net_dense/kernel": ("region_classifier.net.0.weight", "linear_w"),
+    "region_classifier/net_dense/bias": ("region_classifier.net.0.bias", "raw"),
+    "region_classifier/net_ln/weight": ("region_classifier.net.2.weight", "raw"),
+    "region_classifier/net_ln/bias": ("region_classifier.net.2.bias", "raw"),
+    "region_classifier/net_out/kernel": ("region_classifier.net.3.weight", "linear_w"),
+    "region_classifier/net_out/bias": ("region_classifier.net.3.bias", "raw"),
+    "itm_output/kernel": ("itm_output.weight", "linear_w"),
+    "itm_output/bias": ("itm_output.bias", "raw"),
+}
+
+
+def pretrain_head_params_from_state_dict(state_dict):
+    """Head tensors for UniterForPretraining (at the params root)."""
+    flat = {}
+    for path, (tkey, kind) in _PRETRAIN_HEAD_MAP.items():
+        if tkey in state_dict:
+            flat[path] = _convert(state_dict[tkey], kind)
+    return flat
+
+
 # ---------------------------------------------------------------------------
 # Post-load surgeries (reference §5 checkpoint bullet)
 # ---------------------------------------------------------------------------
