@@ -42,10 +42,9 @@ def main():
     from uniter_tpu.training.sched import get_lr_schedule
     from uniter_tpu.training.step import TrainState, make_train_step
 
-    # Measured on v5e: XLA's fused attention edges out the Pallas kernel at
-    # these short-sequence shapes (1192 vs 1047 ex/s); default to the faster
-    # path, overridable for kernel work via UNITER_BENCH_IMPL=pallas.
-    attention_impl = os.environ.get("UNITER_BENCH_IMPL", "xla")
+    # Measured on v5e: the head-batched Pallas kernel (ops/attention.py)
+    # edges out XLA's fused attention (1630 vs 1613 ex/s at these shapes).
+    attention_impl = os.environ.get("UNITER_BENCH_IMPL", "pallas")
 
     def build(impl):
         # measured fastest on v5e: fully-unrolled encoder + hardware RNG

@@ -56,34 +56,37 @@ def _mha_xla(q, k, v, bias, dropout_rate=0.0, dropout_rng=None):
 
 
 def _attn_probs(q_ref, k_ref, bias_ref, *, sm_scale):
-    q = q_ref[0, 0]  # [S, D]
-    k = k_ref[0, 0]
+    """Head-batched scores: one MXU batched-matmul per batch element
+    (grid is (B,); heads ride the dot_general batch dim so Mosaic pipelines
+    them instead of paying per-(b,h) grid overhead)."""
+    q = q_ref[0]  # [H, S, D]
+    k = k_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * sm_scale + bias_ref[0].astype(jnp.float32)  # [S,S]+[1,S]
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, S, S]
+    s = s * sm_scale + bias_ref[0].astype(jnp.float32)[None, :, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
 def _dropout_bits(seed_ref, rate, shape):
-    b, h = pl.program_id(0), pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + h)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32(int(rate * (2**32)))
     return pltpu.bitcast(bits, jnp.uint32) >= threshold  # keep-mask
 
 
 def _mha_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale, rate):
-    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)
+    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)  # [H, S, S]
     if rate > 0.0:
         keep = _dropout_bits(seed_ref, rate, p.shape)
         p = jnp.where(keep, p / (1.0 - rate), 0.0)
-    o_ref[0, 0] = jax.lax.dot_general(
+    o_ref[0] = jax.lax.dot_general(
         p.astype(v_ref.dtype),
-        v_ref[0, 0],
-        (((1,), (0,)), ((), ())),
+        v_ref[0],
+        (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
@@ -91,40 +94,42 @@ def _mha_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale,
 def _mha_bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, rate
 ):
-    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)  # [S, S] fp32
-    g = g_ref[0, 0].astype(jnp.float32)  # [S, D]
-    v = v_ref[0, 0].astype(jnp.float32)
+    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)  # [H,S,S] fp32
+    g = g_ref[0].astype(jnp.float32)  # [H, S, D]
+    v = v_ref[0].astype(jnp.float32)
     if rate > 0.0:
         keep = _dropout_bits(seed_ref, rate, p.shape)
         pd = jnp.where(keep, p / (1.0 - rate), 0.0)
     else:
         keep = None
         pd = p
-    dv_ref[0, 0] = jax.lax.dot_general(
-        pd, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    dv_ref[0] = jax.lax.dot_general(
+        pd, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
-        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [S, S]
+        g, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, S, S]
     if keep is not None:
         dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax bwd
     ds = ds * sm_scale
-    dq_ref[0, 0] = jax.lax.dot_general(
-        ds, k_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k_ref[0].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
-    dk_ref[0, 0] = jax.lax.dot_general(
-        ds, q_ref[0, 0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
 
 
-def _bhsd_spec(s, d):
+def _bhsd_spec(h, s, d):
     # index_map receives (*grid_ids, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec — swallow the scalar ref.
     return pl.BlockSpec(
-        (1, 1, s, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+        (1, h, s, d), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -132,7 +137,7 @@ def _bias_spec(s):
     # bias arrives as [B, 1, S]; a (1, 1, S) block satisfies the TPU tiling
     # rule (trailing block dims equal to the array dims).
     return pl.BlockSpec(
-        (1, 1, s), lambda b, h, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, s), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -145,9 +150,9 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate):
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h),
-        in_specs=[_bhsd_spec(s, d)] * 3 + [_bias_spec(s)],
-        out_specs=_bhsd_spec(s, d),
+        grid=(b,),
+        in_specs=[_bhsd_spec(h, s, d)] * 3 + [_bias_spec(s)],
+        out_specs=_bhsd_spec(h, s, d),
     )
     return pl.pallas_call(
         kernel,
@@ -164,9 +169,10 @@ def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g):
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h),
-        in_specs=[_bhsd_spec(s, d)] * 3 + [_bias_spec(s), _bhsd_spec(s, d)],
-        out_specs=[_bhsd_spec(s, d)] * 3,
+        grid=(b,),
+        in_specs=[_bhsd_spec(h, s, d)] * 3 + [_bias_spec(s),
+                                              _bhsd_spec(h, s, d)],
+        out_specs=[_bhsd_spec(h, s, d)] * 3,
     )
     return pl.pallas_call(
         kernel,
