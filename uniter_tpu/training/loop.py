@@ -138,7 +138,19 @@ class TrainLoop:
                 jax.profiler.stop_trace()
                 LOGGER.info("profiler trace written to %s", self.profile_dir)
             global_step = int(state.step)
-            meter(float(metrics["loss"]))
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                self._nan_streak = getattr(self, "_nan_streak", 0) + 1
+                LOGGER.warning("non-finite loss at step %d (%d consecutive)",
+                               global_step, self._nan_streak)
+                if self._nan_streak >= 5:
+                    raise FloatingPointError(
+                        f"loss non-finite for {self._nan_streak} consecutive "
+                        f"steps at step {global_step} — aborting (last good "
+                        f"checkpoint is resumable)")
+            else:
+                self._nan_streak = 0
+            meter(loss_val)
             if global_step % self.log_steps == 0:
                 ex_per_s = n_examples / (time.time() - t_start)
                 TB_LOGGER.add_scalar("loss", meter.val, global_step)
