@@ -117,7 +117,16 @@ def main(opts):
     with open(os.path.join(opts.output, "meta.json"), "w") as f:
         json.dump(meta, f, indent=4)
 
-    db = TxtDb(opts.output, readonly=False)
+    if opts.store == "lmdb":
+        # buffer records, bulk-write data.mdb at the end
+        class _Buf:
+            def __init__(self):
+                self.records = {}
+            def __setitem__(self, k, v):
+                self.records[k] = v
+        db = _Buf()
+    else:
+        db = TxtDb(opts.output, readonly=False)
     if opts.task == "nlvr":
         with open(opts.annotation) as ann:
             id2len, txt2img = process_nlvr2(ann, db, tokenize,
@@ -146,6 +155,14 @@ def main(opts):
                 json.dump(obj, f)
     else:
         raise ValueError(f"unknown task {opts.task}")
+    if opts.store == "lmdb":
+        from uniter_tpu.data import lz4f
+        from uniter_tpu.data import msgpack_numpy as msgnp
+        from uniter_tpu.data.lmdb_native import write_lmdb
+
+        write_lmdb(opts.output, {
+            k: lz4f.compress(msgnp.packb(v)) for k, v in db.records.items()
+        })
     with open(os.path.join(opts.output, "id2len.json"), "w") as f:
         json.dump(id2len, f)
     LOGGER.info("processed %d examples into %s", len(id2len), opts.output)
@@ -160,4 +177,6 @@ if __name__ == "__main__":
     parser.add_argument("--instances", help="RE: instances.json")
     parser.add_argument("--iid_to_ann_ids", help="RE: iid->ann_ids json")
     parser.add_argument("--toker", default="bert-base-cased")
+    parser.add_argument("--store", default="lmdb", choices=["lmdb", "dir"],
+                        help="record store format (lmdb = reference format)")
     main(parser.parse_args())

@@ -53,6 +53,7 @@ def pipeline(tmp_path_factory):
         instances = None
         iid_to_ann_ids = None
         toker = vocab_path
+        store = "lmdb"  # exercise the native engine in the pipeline
 
     prepro.main(Opts())
 

@@ -42,6 +42,9 @@ class UniterConfig:
     dtype: str = "bfloat16"
     # Attention implementation: "pallas" (fused TPU kernel) or "xla".
     attention_impl: str = "xla"
+    # FFN implementation: "pallas" (fused matmul-gelu-matmul, intermediate
+    # never leaves VMEM) or "xla".
+    ffn_impl: str = "xla"
     # LayerNorm implementation: "pallas" or "xla". eps is pinned at 1e-12 to
     # match apex FusedLayerNorm usage (reference model/model.py:229).
     layer_norm_impl: str = "xla"

@@ -80,14 +80,29 @@ class TxtTokDb(TxtDb):
 
 
 def write_txt_db(db_dir: str, records: Dict[str, dict], meta: dict,
-                 txt2img: Optional[Dict[str, str]] = None):
-    """Create a txt DB (test fixtures + prepro output)."""
+                 txt2img: Optional[Dict[str, str]] = None,
+                 store: str = "dir"):
+    """Create a txt DB (test fixtures + prepro output).
+
+    store="lmdb" bulk-writes a data.mdb via the native lmdbx engine (the
+    reference's on-disk format); "dir" writes one file per key.
+    """
     os.makedirs(db_dir, exist_ok=True)
-    db = TxtDb(db_dir, readonly=False)
     id2len = {}
-    for key, rec in records.items():
-        db[key] = rec
-        id2len[key] = len(rec["input_ids"])
+    if store == "lmdb":
+        from uniter_tpu.data.lmdb_native import write_lmdb
+
+        blobs = {}
+        for key, rec in records.items():
+            blobs[key] = lz4f.compress(msgnp.packb(rec))
+            id2len[key] = len(rec["input_ids"])
+        write_lmdb(db_dir, blobs)
+        db = None
+    else:
+        db = TxtDb(db_dir, readonly=False)
+        for key, rec in records.items():
+            db[key] = rec
+            id2len[key] = len(rec["input_ids"])
     with open(os.path.join(db_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(db_dir, "id2len.json"), "w") as f:
@@ -102,4 +117,5 @@ def write_txt_db(db_dir: str, records: Dict[str, dict], meta: dict,
                 img2txts.setdefault(one, []).append(t)
         with open(os.path.join(db_dir, "img2txts.json"), "w") as f:
             json.dump(img2txts, f)
-    db.store.close()
+    if db is not None:
+        db.store.close()

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from uniter_tpu.config import UniterConfig
 from uniter_tpu.ops.activations import ACT2FN
 from uniter_tpu.ops.attention import multi_head_attention
+from uniter_tpu.ops.ffn import ffn
 from uniter_tpu.ops.layer_norm import layer_norm
 
 MASK_VALUE = -10000.0  # additive padding bias, reference model/model.py:345
@@ -86,6 +87,9 @@ class Dense(nn.Module):
         """x @ kernel.T — weight tying against this layer's kernel (e.g. the
         MRFR head reuses img_linear, reference model/pretrain.py:27-32)."""
         return jnp.dot(x, self.kernel.T.astype(x.dtype))
+
+    def pieces(self):
+        return self.kernel, self.bias
 
 
 class Embed(nn.Module):
@@ -241,10 +245,18 @@ class BertLayer(nn.Module):
         attn_out = BertAttention(cfg, self.deterministic, name="attention")(
             hidden, bias
         )
-        inter = Dense(cfg, cfg.intermediate_size, name="intermediate_dense")(attn_out)
-        inter = ACT2FN[cfg.hidden_act](inter)
-        out = Dense(cfg, cfg.hidden_size, in_features=cfg.intermediate_size,
-                    name="output_dense")(inter)
+        inter_mod = Dense(cfg, cfg.intermediate_size,
+                          name="intermediate_dense")
+        out_mod = Dense(cfg, cfg.hidden_size,
+                        in_features=cfg.intermediate_size,
+                        name="output_dense")
+        if cfg.ffn_impl == "pallas" and cfg.hidden_act == "gelu":
+            w1, b1 = inter_mod.pieces()
+            w2, b2 = out_mod.pieces()
+            out = ffn(attn_out, w1, b1, w2, b2, impl="pallas")
+        else:
+            inter = ACT2FN[cfg.hidden_act](inter_mod(attn_out))
+            out = out_mod(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=self.deterministic)
         out = LayerNorm(cfg, name="output_LayerNorm")(out + attn_out)
         return out
