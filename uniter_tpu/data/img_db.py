@@ -37,7 +37,13 @@ def _fp16_to_fp32(d):
 class DetectFeatDb:
     def __init__(self, img_dir: str, conf_th: float = 0.2, max_bb: int = 100,
                  min_bb: int = 10, num_bb: int = 36, compress: bool = True,
-                 store: Optional[KVStore] = None):
+                 store: Optional[KVStore] = None, cache_size: int = 256):
+        # LRU of decoded (features, pos7) — images are shared by many texts
+        # (COCO ~5 captions/image; NLVR2 pairs), so decode once.
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._cache_size = cache_size
         self.img_dir = img_dir
         self.conf_th = conf_th
         self.min_bb = min_bb
@@ -67,12 +73,19 @@ class DetectFeatDb:
         if self.name2nbb is None:
             self.name2nbb = self._compute_nbb()
 
-    def _decode(self, dump: bytes) -> Dict[str, np.ndarray]:
+    def _decode(self, dump: bytes, keys=None) -> Dict[str, np.ndarray]:
+        """Decode an npz/msgpack record; ``keys`` limits which arrays are
+        materialized (soft_labels is ~half the bytes and only MRC needs it —
+        the reference decodes selectively too, data/data.py:119-121)."""
         if self.compress:
             with io.BytesIO(dump) as reader:
                 z = np.load(reader, allow_pickle=True)
-                return {k: z[k] for k in z.files}
-        return msgnp.unpackb(dump)
+                names = keys if keys is not None else z.files
+                return {k: z[k] for k in names}
+        d = msgnp.unpackb(dump)
+        if keys is not None:
+            d = {k: d[k] for k in keys}
+        return d
 
     def _compute_nbb(self):
         out = {}
@@ -94,7 +107,7 @@ class DetectFeatDb:
         return {k: v[:nbb] for k, v in d.items()}
 
     def __getitem__(self, file_name: str) -> Tuple[np.ndarray, np.ndarray]:
-        d = self._decode(self.store[file_name])
+        d = self._decode(self.store[file_name], keys=("features", "norm_bb"))
         nbb = self.name2nbb[file_name]
         feat = np.asarray(d["features"][:nbb], dtype=np.float32)
         bb = np.asarray(d["norm_bb"][:nbb], dtype=np.float32)
@@ -102,10 +115,19 @@ class DetectFeatDb:
 
     def get_img_feat(self, fname: str):
         """(features, 7-d pos feat, nbb) — reference
-        DetectFeatTxtTokDataset._get_img_feat (data/data.py:248-252)."""
+        DetectFeatTxtTokDataset._get_img_feat (data/data.py:248-252).
+        LRU-cached; callers must not mutate the returned arrays."""
+        hit = self._cache.get(fname)
+        if hit is not None:
+            self._cache.move_to_end(fname)
+            return hit
         feat, bb = self[fname]
         pos7 = np.concatenate([bb, bb[:, 4:5] * bb[:, 5:6]], axis=-1)
-        return feat, pos7, feat.shape[0]
+        out = (feat, pos7, feat.shape[0])
+        self._cache[fname] = out
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return out
 
 
 def write_img_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
