@@ -72,7 +72,11 @@ def _attn_probs(q_ref, k_ref, bias_ref, *, sm_scale):
 
 
 def _dropout_bits(seed_ref, rate, shape):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # distinct stream per (batch, head-chunk) grid step; identical between
+    # fwd and bwd so the keep-mask replays exactly
+    pltpu.prng_seed(
+        seed_ref[0] + pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    )
     bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32(int(rate * (2**32)))
     return pltpu.bitcast(bits, jnp.uint32) >= threshold  # keep-mask
@@ -125,11 +129,23 @@ def _mha_bwd_kernel(
     ).astype(dk_ref.dtype)
 
 
-def _bhsd_spec(h, s, d):
+def _head_chunk(h, s, d, n_bufs):
+    """Heads per grid step, fitting scores+blocks in a VMEM budget. At short
+    S all heads batch into one step; at S=512 the [H,S,S] fp32 scores alone
+    would blow the ~16MB VMEM, so heads are chunked."""
+    budget = 10 * 1024 * 1024
+    per_head = s * s * 4 * 2 + n_bufs * s * d * 2  # scores(+grad tmp) + blocks
+    hc = max(1, min(h, budget // max(per_head, 1)))
+    while h % hc:
+        hc -= 1
+    return hc
+
+
+def _bhsd_spec(hc, s, d):
     # index_map receives (*grid_ids, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec — swallow the scalar ref.
     return pl.BlockSpec(
-        (1, h, s, d), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, hc, s, d), lambda b, j, *_: (b, j, 0, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -137,7 +153,7 @@ def _bias_spec(s):
     # bias arrives as [B, 1, S]; a (1, 1, S) block satisfies the TPU tiling
     # rule (trailing block dims equal to the array dims).
     return pl.BlockSpec(
-        (1, 1, s), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, s), lambda b, j, *_: (b, 0, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -145,14 +161,16 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate):
     """q,k,v: [B, H, S, D]; bias: [B, S]; seed: int32[1]."""
     b, h, s, d = q.shape
     bias = bias.reshape(b, 1, s)
+    # chunk size must MATCH the backward pass so dropout streams replay
+    hc = _head_chunk(h, s, d, n_bufs=7)
     kernel = functools.partial(
         _mha_fwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[_bhsd_spec(h, s, d)] * 3 + [_bias_spec(s)],
-        out_specs=_bhsd_spec(h, s, d),
+        grid=(b, h // hc),
+        in_specs=[_bhsd_spec(hc, s, d)] * 3 + [_bias_spec(s)],
+        out_specs=_bhsd_spec(hc, s, d),
     )
     return pl.pallas_call(
         kernel,
@@ -164,15 +182,16 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate):
 def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g):
     b, h, s, d = q.shape
     bias = bias.reshape(b, 1, s)
+    hc = _head_chunk(h, s, d, n_bufs=7)
     kernel = functools.partial(
         _mha_bwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[_bhsd_spec(h, s, d)] * 3 + [_bias_spec(s),
-                                              _bhsd_spec(h, s, d)],
-        out_specs=[_bhsd_spec(h, s, d)] * 3,
+        grid=(b, h // hc),
+        in_specs=[_bhsd_spec(hc, s, d)] * 3 + [_bias_spec(s),
+                                               _bhsd_spec(hc, s, d)],
+        out_specs=[_bhsd_spec(hc, s, d)] * 3,
     )
     return pl.pallas_call(
         kernel,
