@@ -100,7 +100,8 @@ def create_dataloaders(datasets_cfg, opts, mesh) -> Dict[str, tuple]:
             spec = driver.bucket_spec(opts, mesh, ds)
             collate = type(parts[0]).collate
             loader = BucketLoader(ds, spec, collate=collate,
-                                  seed=opts.seed, loop=True)
+                                  seed=opts.seed, loop=True,
+                                  num_workers=opts.n_workers)
             out[f"{task}_{name}"] = (loader, ratio)
     return out
 

@@ -141,3 +141,47 @@ def test_grad_accumulation():
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         state_a.params, state_b.params)
     assert max(jax.tree.leaves(diffs)) < 1e-6
+
+
+def test_resume_matches_continuous(tmp_path):
+    """save at step 2, restore, run to 4 == run 4 straight (exact resume,
+    which the reference lacked — utils/save.py:70-73 TODO)."""
+    from uniter_tpu.utils.save import TrainStateSaver
+
+    cfg = tiny_config(type_vocab_size=3)
+    model = UniterForNlvr2Triplet(cfg, img_dim=IMG_DIM)
+    batch = make_batch()
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch, False)[
+        "params"]
+
+    def loss_fn(p, b, rng):
+        per_ex = model.apply({"params": p}, b, True, deterministic=True)
+        return jnp.mean(per_ex), {}
+
+    def fresh_state():
+        tx = build_optimizer(params, get_lr_schedule(1e-3, 2, 100),
+                             grad_norm=2.0, weight_decay=0.01)
+        return TrainState.create(params, tx)
+
+    step = make_train_step(loss_fn, donate=False)
+
+    # continuous: 4 steps
+    s_cont = fresh_state()
+    for i in range(4):
+        s_cont, _ = step(s_cont, batch, jax.random.PRNGKey(i))
+
+    # interrupted: 2 steps -> save -> restore -> 2 more
+    saver = TrainStateSaver(str(tmp_path))
+    s_a = fresh_state()
+    for i in range(2):
+        s_a, _ = step(s_a, batch, jax.random.PRNGKey(i))
+    saver.save(2, s_a)
+    s_b = saver.restore(fresh_state())
+    assert int(s_b.step) == 2
+    for i in range(2, 4):
+        s_b, _ = step(s_b, batch, jax.random.PRNGKey(i))
+
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        s_cont.params, s_b.params))
+    assert max(diffs) == 0.0, max(diffs)

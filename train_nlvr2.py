@@ -99,7 +99,8 @@ def main(opts):
     rows = getattr(train_ds, "rows_per_example", 1)
     size_mul = max(8, dp * rows)
     spec = BucketSpec(token_budget=opts.train_batch_size, size_mul=size_mul)
-    train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True)
+    train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True,
+                               num_workers=opts.n_workers)
     val_ds = build_dataset(opts.val_txt_db, opts.val_img_db, opts, False)
     val_loader = BucketLoader(
         val_ds, BucketSpec(token_budget=opts.val_batch_size,

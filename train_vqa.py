@@ -67,7 +67,8 @@ def main(opts):
     train_ds = VqaDataset(opts.num_answer, txt_db, img_db,
                           **driver.shard_kw())
     spec = driver.bucket_spec(opts, mesh, train_ds)
-    train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True)
+    train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True,
+                               num_workers=opts.n_workers)
 
     val_txt = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len)
     val_img = driver.open_img_db(opts.val_img_db, opts)

@@ -40,12 +40,19 @@ class BucketLoader:
         shuffle: bool = True,
         drop_last: Optional[bool] = None,
         loop: bool = False,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.spec = spec
         self.collate = collate or type(dataset).collate
         self.seed = seed
         self.loop = loop
+        self.num_workers = num_workers
+        self._pool = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(num_workers)
         rows = getattr(dataset, "rows_per_example", 1)
         sizes = [dataset.size_of(i) for i in range(len(dataset))]
         self.sampler = StaticBucketSampler(
@@ -69,7 +76,15 @@ class BucketLoader:
                 rows_per_example=self.sampler.rows_per_example,
             )
         for (t_b, r_b), idxs in self.sampler:
-            records = [self.dataset.get_record(i, rng) for i in idxs]
+            if self._pool is not None:
+                # per-record RNG streams keep results order-independent
+                seeds = [rng.randint(2**31) for _ in idxs]
+                records = list(self._pool.map(
+                    lambda iv: self.dataset.get_record(
+                        iv[0], np.random.RandomState(iv[1])),
+                    zip(idxs, seeds)))
+            else:
+                records = [self.dataset.get_record(i, rng) for i in idxs]
             bs = self.sampler.batch_size((t_b, r_b))
             yield self.collate(records, t_b, r_b, bs)
 
