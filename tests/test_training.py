@@ -185,3 +185,28 @@ def test_resume_matches_continuous(tmp_path):
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         s_cont.params, s_b.params))
     assert max(diffs) == 0.0, max(diffs)
+
+
+def test_bucket_spec_covers_long_text_and_dual_imgdb():
+    """VCR-class shapes must not be silently truncated by the bucket grid."""
+    from types import SimpleNamespace
+
+    from uniter_tpu.training.driver import bucket_spec
+
+    class FakeDs:
+        rows_per_example = 4
+
+        def __len__(self):
+            return 3
+
+        def size_of(self, i):
+            return 226, 16 + i  # gt+det concat regions up to 18
+
+    class FakeMesh:
+        shape = {"data": 1}
+
+    opts = SimpleNamespace(max_txt_len=220, max_bb=10,
+                           train_batch_size=4000)
+    spec = bucket_spec(opts, FakeMesh(), FakeDs())
+    assert spec.txt_bucket(226) >= 226
+    assert spec.img_bucket(18) >= 18

@@ -149,7 +149,26 @@ def setup_run(opts, model_cfg) -> tuple:
 def bucket_spec(opts, mesh, dataset, budget=None) -> BucketSpec:
     dp = mesh.shape["data"]
     rows = getattr(dataset, "rows_per_example", 1)
+    # txt buckets must cover max_txt_len + specials (VCR runs at 220+6;
+    # capping at the default 128 would silently truncate rationales)
+    cap = getattr(opts, "max_txt_len", 60)
+    if cap == -1:
+        cap = 506
+    cap += 6
+    txt_buckets = tuple(b for b in (32, 64, 96, 128, 160, 192, 256, 320, 512)
+                        if b < cap) + (((cap + 7) // 8) * 8,)
+    # img cap from the dataset's real sizes (VCR concatenates gt+det DBs,
+    # so the max can exceed a single DB's max_bb)
+    try:
+        max_r = max(dataset.size_of(i)[1] for i in range(len(dataset)))
+    except Exception:
+        max_r = opts.max_bb
+    max_r = max(max_r, 4)
+    img_buckets = tuple(b for b in (20, 40, 64, 100) if b < max_r) + (
+        ((max_r + 3) // 4) * 4,)
     return BucketSpec(
+        txt_buckets=txt_buckets,
+        img_buckets=img_buckets,
         token_budget=budget or opts.train_batch_size,
         size_mul=max(8, dp * rows))
 
