@@ -86,6 +86,10 @@ def validate(model, params, loader, paired: bool):
         preds = scores.argmax(-1)
         n_correct += int((preds[valid] == targets[valid]).sum())
         n_ex += int(valid.sum())
+    from uniter_tpu.parallel.collectives import all_gather_list
+
+    n_correct = sum(all_gather_list(n_correct))
+    n_ex = sum(all_gather_list(n_ex))
     return {"acc": n_correct / max(n_ex, 1), "n_ex": n_ex}
 
 

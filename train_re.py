@@ -60,6 +60,10 @@ def evaluate(model, params, loader):
             pred_box = obj_boxes[min(preds[i], len(obj_boxes) - 1)]
             n_correct += int(compute_iou(pred_box, tgt) > 0.5)
             n_ex += 1
+    from uniter_tpu.parallel.collectives import all_gather_list
+
+    n_correct = sum(all_gather_list(n_correct))
+    n_ex = sum(all_gather_list(n_ex))
     return {"acc": n_correct / max(n_ex, 1), "n_ex": n_ex}
 
 

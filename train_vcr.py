@@ -86,6 +86,11 @@ def validate(model, params, loader):
             n_qar += int(qa_ok and qar_ok)
             n_ex += 1
             off += n_rows
+    from uniter_tpu.parallel.collectives import all_gather_list
+
+    n_qa = sum(all_gather_list(n_qa))
+    n_qar = sum(all_gather_list(n_qar))
+    n_ex = sum(all_gather_list(n_ex))
     return {"qa_acc": n_qa / max(n_ex, 1),
             "qar_joint_acc": n_qar / max(n_ex, 1), "n_ex": n_ex}
 

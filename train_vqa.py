@@ -53,6 +53,10 @@ def validate(model, params, loader, num_answer):
         preds = logits.argmax(-1)
         score_sum += float(targets[np.arange(len(preds)), preds][w].sum())
         n_ex += int(w.sum())
+    from uniter_tpu.parallel.collectives import all_gather_list
+
+    score_sum = sum(all_gather_list(score_sum))
+    n_ex = sum(all_gather_list(n_ex))
     return {"score": score_sum / max(n_ex, 1), "n_ex": n_ex}
 
 
