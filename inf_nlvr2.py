@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.buckets import spec_from_dataset
 from uniter_tpu.data.img_db import DetectFeatDb
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.nlvr2 import Nlvr2PairedDataset, Nlvr2TripletDataset
@@ -38,7 +38,7 @@ def main(opts):
     cls = Nlvr2PairedDataset if paired else Nlvr2TripletDataset
     ds = cls(txt_db, img_db, use_img_type=hps.use_img_type)
     loader = BucketLoader(
-        ds, BucketSpec(token_budget=opts.batch_size, size_mul=8),
+        ds, spec_from_dataset(ds, opts.batch_size),
         shuffle=False, drop_last=False)
 
     # init template then load trained weights

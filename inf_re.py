@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.buckets import spec_from_dataset
 from uniter_tpu.data.img_db import DetectFeatDb
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.re import ReEvalDataset, ReTxtTokDb, compute_iou
@@ -37,7 +37,7 @@ def main(opts):
                           num_bb=hps.num_bb)
     ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat)
     loader = BucketLoader(
-        ds, BucketSpec(token_budget=opts.batch_size, size_mul=8),
+        ds, spec_from_dataset(ds, opts.batch_size),
         shuffle=False, drop_last=False)
 
     batch0 = next(iter(loader))

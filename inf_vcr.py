@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.buckets import spec_from_dataset
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.vcr import VcrEvalDataset, VcrTxtTokDb
 from uniter_tpu.models.vcr import UniterForVisualCommonsenseReasoning
@@ -46,7 +46,7 @@ def main(opts):
     ds = VcrEvalDataset(opts.split, txt_db, img_db_gt=img_db_gt,
                         img_db=img_db)
     loader = BucketLoader(
-        ds, BucketSpec(token_budget=opts.batch_size, size_mul=8),
+        ds, spec_from_dataset(ds, opts.batch_size),
         shuffle=False, drop_last=False, collate=VcrEvalDataset.collate)
 
     batch0 = next(iter(loader))

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.buckets import spec_from_dataset
 from uniter_tpu.data.img_db import DetectFeatDb
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.txt_db import TxtTokDb
@@ -46,7 +46,7 @@ def main(opts):
                           num_bb=hps.num_bb)
     ds = VqaDataset(num_answer, txt_db, img_db)
     loader = BucketLoader(
-        ds, BucketSpec(token_budget=opts.batch_size, size_mul=8),
+        ds, spec_from_dataset(ds, opts.batch_size),
         shuffle=False, drop_last=False)
 
     batch0 = next(iter(loader))

@@ -59,6 +59,22 @@ class BucketSpec:
         return max(b, self.size_mul, self.min_batch)
 
 
+def spec_from_dataset(dataset, token_budget: int,
+                      size_mul: int = 8) -> BucketSpec:
+    """BucketSpec whose grid covers the dataset's real (txt, region) sizes —
+    nothing is ever truncated."""
+    sizes = [dataset.size_of(i) for i in range(len(dataset))]
+    max_t = max((s[0] for s in sizes), default=32)
+    max_r = max((s[1] for s in sizes), default=4)
+    cap_t = ((max_t + 7) // 8) * 8
+    cap_r = ((max_r + 3) // 4) * 4
+    txt = tuple(b for b in (32, 64, 96, 128, 160, 192, 256, 320, 512)
+                if b < cap_t) + (cap_t,)
+    img = tuple(b for b in (20, 40, 64, 100) if b < cap_r) + (cap_r,)
+    return BucketSpec(txt_buckets=txt, img_buckets=img,
+                      token_budget=token_budget, size_mul=size_mul)
+
+
 def pad_1d(arr, length, pad=0, dtype=None):
     arr = np.asarray(arr)
     out = np.full((length,), pad, dtype=dtype or arr.dtype)
