@@ -51,16 +51,9 @@ def build_model_and_params(opts, rng):
     cfg = cfg.replace(vocab_size=cfg.vocab_size + NUM_SPECIAL_TOKENS)
     model = UniterForPretrainingForVCR(
         cfg, img_dim=IMG_DIM, img_label_dim=IMG_LABEL_DIM)
-    b, t, r, m = 8, 16, 8, 4
-    init_batch = dict(
-        input_ids=jnp.zeros((b, t), jnp.int32),
-        position_ids=jnp.zeros((b, t), jnp.int32),
-        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
-        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
-        attn_mask=jnp.ones((b, t + r), jnp.int32),
-        mlm_pos=jnp.zeros((b, m), jnp.int32),
-        mrm_pos=jnp.zeros((b, m), jnp.int32),
-    )
+    init_batch = driver.make_init_batch(
+        mlm_pos=jnp.zeros((8, 4), jnp.int32),
+        mrm_pos=jnp.zeros((8, 4), jnp.int32))
     params = model.init(
         {"params": rng}, init_batch,
         method=UniterForPretraining.init_all)["params"]

@@ -30,14 +30,7 @@ def build_model_and_params(opts, rng):
     cfg = driver.model_config_from_opts(opts)
     model = UniterForImageTextRetrieval(
         cfg, img_dim=IMG_DIM, margin=opts.margin)
-    b, t, r = 8, 16, 8
-    init_batch = dict(
-        input_ids=jnp.zeros((b, t), jnp.int32),
-        position_ids=jnp.zeros((b, t), jnp.int32),
-        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
-        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
-        attn_mask=jnp.ones((b, t + r), jnp.int32),
-    )
+    init_batch = driver.make_init_batch()
     params = model.init({"params": rng}, init_batch, False)["params"]
 
     def seed_rank_head(params, sd):

@@ -48,7 +48,7 @@ def hn_loader(ds, t_bucket, r_bucket, seed):
 def main(opts):
     cfg = driver.model_config_from_opts(opts)
     mesh = driver.setup_run(opts, cfg)
-    base_model, cfg, params = train_itm.build_model_and_params(
+    _, cfg, params = train_itm.build_model_and_params(
         opts, jax.random.PRNGKey(opts.seed))
     model = UniterForImageTextRetrievalHardNeg(
         cfg, img_dim=IMG_DIM, margin=opts.margin,

@@ -28,16 +28,9 @@ def build_model_and_params(opts, rng):
     model = UniterForReferringExpressionComprehension(
         cfg, img_dim=IMG_DIM, loss_type=opts.train_loss,
         margin=opts.margin, hard_ratio=opts.hard_ratio, mlp=opts.mlp)
-    b, t, r = 8, 16, 8
-    init_batch = dict(
-        input_ids=jnp.zeros((b, t), jnp.int32),
-        position_ids=jnp.zeros((b, t), jnp.int32),
-        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
-        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
-        attn_mask=jnp.ones((b, t + r), jnp.int32),
-        obj_masks=jnp.zeros((b, r), bool),
-        targets=jnp.zeros((b,), jnp.int32),
-    )
+    init_batch = driver.make_init_batch(
+        obj_masks=jnp.zeros((8, 8), bool),
+        targets=jnp.zeros((8,), jnp.int32))
     params = model.init(
         {"params": rng, "sampling": jax.random.PRNGKey(1)}, init_batch, True,
         deterministic=True)["params"]

@@ -32,16 +32,9 @@ def build_model_and_params(opts, rng):
         opts, type_vocab_size=4)
     cfg = cfg.replace(vocab_size=cfg.vocab_size + NUM_SPECIAL_TOKENS)
     model = UniterForVisualCommonsenseReasoning(cfg, img_dim=IMG_DIM)
-    b, t, r = 8, 16, 8
-    init_batch = dict(
-        input_ids=jnp.zeros((b, t), jnp.int32),
-        position_ids=jnp.zeros((b, t), jnp.int32),
-        txt_type_ids=jnp.zeros((b, t), jnp.int32),
-        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
-        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
-        attn_mask=jnp.ones((b, t + r), jnp.int32),
-        targets=jnp.zeros((b,), jnp.int32),
-    )
+    init_batch = driver.make_init_batch(
+        txt_type_ids=jnp.zeros((8, 16), jnp.int32),
+        targets=jnp.zeros((8,), jnp.int32))
     params = model.init({"params": rng}, init_batch, False)["params"]
     # surgeries: type rows 2,3 <- row 0 (model/vcr.py:32-41); +81 word rows
     params = driver.load_trunk_checkpoint(

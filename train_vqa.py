@@ -27,15 +27,8 @@ def build_model_and_params(opts, rng):
     cfg = driver.model_config_from_opts(opts)
     model = UniterForVisualQuestionAnswering(
         cfg, img_dim=IMG_DIM, num_answer=opts.num_answer)
-    b, t, r = 8, 16, 8
-    init_batch = dict(
-        input_ids=jnp.zeros((b, t), jnp.int32),
-        position_ids=jnp.zeros((b, t), jnp.int32),
-        img_feat=jnp.zeros((b, r, IMG_DIM), jnp.float32),
-        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
-        attn_mask=jnp.ones((b, t + r), jnp.int32),
-        targets=jnp.zeros((b, opts.num_answer), jnp.float32),
-    )
+    init_batch = driver.make_init_batch(
+        targets=jnp.zeros((8, opts.num_answer), jnp.float32))
     params = model.init({"params": rng}, init_batch, False)["params"]
     params = driver.load_trunk_checkpoint(params, opts, cfg)
     return model, cfg, params

@@ -64,6 +64,25 @@ def add_common_args(parser: argparse.ArgumentParser):
     return parser
 
 
+def make_init_batch(b=8, t=16, r=8, img_dim=None, **extras):
+    """Tiny all-zero batch for flax param initialization (shapes don't
+    matter — params are shape-independent of batch dims)."""
+    import jax.numpy as jnp
+
+    from uniter_tpu.utils.const import IMG_DIM as DEFAULT_IMG_DIM
+
+    d = img_dim or DEFAULT_IMG_DIM
+    batch = dict(
+        input_ids=jnp.zeros((b, t), jnp.int32),
+        position_ids=jnp.zeros((b, t), jnp.int32),
+        img_feat=jnp.zeros((b, r, d), jnp.float32),
+        img_pos_feat=jnp.zeros((b, r, 7), jnp.float32),
+        attn_mask=jnp.ones((b, t + r), jnp.int32),
+    )
+    batch.update(extras)
+    return batch
+
+
 def shard_kw() -> dict:
     """Multi-host dataset sharding (replaces the reference's
     ids[hvd.rank()::hvd.size()], data/data.py:218-225)."""
