@@ -1,0 +1,83 @@
+"""Pallas kernels under interpret mode (CPU CI coverage for the TPU
+kernels: attention, FFN, LayerNorm). Dropout paths need the on-core PRNG
+and are validated on hardware (docs/PERF.md), not here."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setenv("UNITER_PALLAS_INTERPRET", "1")
+
+
+def test_attention_kernel_interpret():
+    from uniter_tpu.ops.attention import multi_head_attention
+
+    B, S, H, D = 2, 16, 4, 8
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    bias = jnp.zeros((B, S), jnp.float32).at[:, 12:].set(-10000.0)
+    out_p = np.asarray(multi_head_attention(q, k, v, bias, impl="pallas"))
+    out_x = np.asarray(multi_head_attention(q, k, v, bias, impl="xla"))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
+
+    gp = jax.grad(lambda q, k, v: jnp.sum(
+        multi_head_attention(q, k, v, bias, impl="pallas") ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(
+        multi_head_attention(q, k, v, bias, impl="xla") ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ffn_kernel_interpret():
+    from uniter_tpu.ops.ffn import ffn
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(32, 24), jnp.float32)
+    w1 = jnp.asarray(rng.randn(24, 48) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(48) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(48, 24) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(24) * 0.1, jnp.float32)
+    out_p = np.asarray(ffn(x, w1, b1, w2, b2, impl="pallas"))
+    out_x = np.asarray(ffn(x, w1, b1, w2, b2, impl="xla"))
+    # erf polynomial vs exact erf: 1.5e-7 abs, fp32-visible but tiny
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-5)
+
+    g = jax.grad(lambda *a: jnp.sum(ffn(*a, impl="pallas") ** 2),
+                 argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gx = jax.grad(lambda *a: jnp.sum(ffn(*a, impl="xla") ** 2),
+                  argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_layer_norm_kernel_interpret():
+    from uniter_tpu.ops.layer_norm import layer_norm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32), jnp.float32)
+    b = jnp.asarray(rng.randn(32), jnp.float32)
+    out_p = np.asarray(layer_norm(x, w, b, impl="pallas"))
+    out_x = np.asarray(layer_norm(x, w, b, impl="xla"))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
+
+    gp = jax.grad(lambda x, w, b: jnp.sum(
+        layer_norm(x, w, b, impl="pallas") ** 2), argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(lambda x, w, b: jnp.sum(
+        layer_norm(x, w, b, impl="xla") ** 2), argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

@@ -31,6 +31,14 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
+def _interpret() -> bool:
+    # CPU test coverage for the kernels (tests set this env var)
+    import os
+
+    return os.environ.get("UNITER_PALLAS_INTERPRET") == "1"
+
+
+
 # ---------------------------------------------------------------------------
 # XLA path (used on CPU and as autodiff reference)
 # ---------------------------------------------------------------------------
@@ -174,6 +182,7 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate):
     )
     return pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
         grid_spec=grid_spec,
     )(seed, q, k, v, bias)
@@ -195,6 +204,7 @@ def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g):
     )
     return pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         out_shape=[jax.ShapeDtypeStruct((b, h, s, d), q.dtype)] * 3,
         grid_spec=grid_spec,
     )(seed, q, k, v, bias, g)

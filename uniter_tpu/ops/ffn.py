@@ -22,6 +22,14 @@ try:
 except ImportError:  # pragma: no cover
     pltpu = None
 
+
+def _interpret() -> bool:
+    # CPU test coverage for the kernels (tests set this env var)
+    import os
+
+    return os.environ.get("UNITER_PALLAS_INTERPRET") == "1"
+
+
 from uniter_tpu.ops.activations import gelu
 
 
@@ -71,6 +79,7 @@ def _ffn_pallas_raw(x2, w1, b1, w2, b2):
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _ffn_fwd_kernel,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((rows, d_out), x2.dtype),
         grid=(rows // blk,),
         in_specs=[

@@ -23,6 +23,13 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
+def _interpret() -> bool:
+    # CPU test coverage for the kernels (tests set this env var)
+    import os
+
+    return os.environ.get("UNITER_PALLAS_INTERPRET") == "1"
+
+
 def _layer_norm_xla(x, weight, bias, eps):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -58,6 +65,7 @@ def _layer_norm_pallas(x, weight, bias, eps):
     grid = (rows // blk,)
     out = pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid=grid,
         in_specs=[
