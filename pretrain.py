@@ -162,8 +162,13 @@ def main(opts):
         opts, jax.random.PRNGKey(opts.seed))
 
     loaders = create_dataloaders(opts.train_datasets, opts, mesh)
-    meta = MetaLoader(loaders, accum_steps=opts.gradient_accumulation_steps,
-                      seed=opts.seed)
+    accum = opts.gradient_accumulation_steps
+    if accum > 1:
+        from uniter_tpu.data.loader import AccumLoader
+
+        loaders = {name: (AccumLoader(loader, accum), ratio)
+                   for name, (loader, ratio) in loaders.items()}
+    meta = MetaLoader(loaders, accum_steps=1, seed=opts.seed)
     val_loaders = {}
     if opts.val_datasets:
         raw = create_dataloaders(opts.val_datasets, opts, mesh)
@@ -199,7 +204,8 @@ def main(opts):
                     method=UniterForPretraining.scalar_loss)
                 return scalar, metrics
             step_fns[task] = make_train_step(
-                loss_fn, mesh=mesh, loss_scale="sum")
+                loss_fn, mesh=mesh, loss_scale="sum",
+                accum_steps=opts.gradient_accumulation_steps)
         return step_fns[task]
 
     task2loss = {}

@@ -91,8 +91,13 @@ def main(opts):
             loaders[f"{task}_{dset['name']}"] = (
                 BucketLoader(ds, spec, collate=type(ds).collate,
                              seed=opts.seed, loop=True), ratio)
-    meta = MetaLoader(loaders, accum_steps=opts.gradient_accumulation_steps,
-                      seed=opts.seed)
+    accum = opts.gradient_accumulation_steps
+    if accum > 1:
+        from uniter_tpu.data.loader import AccumLoader
+
+        loaders = {name: (AccumLoader(loader, accum), ratio)
+                   for name, (loader, ratio) in loaders.items()}
+    meta = MetaLoader(loaders, accum_steps=1, seed=opts.seed)
 
     tx = build_optimizer(
         params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
@@ -112,7 +117,8 @@ def main(opts):
                     rngs={"dropout": rng},
                     method=UniterForPretraining.scalar_loss)
             step_fns[task] = make_train_step(
-                loss_fn, mesh=mesh, loss_scale="sum")
+                loss_fn, mesh=mesh, loss_scale="sum",
+                accum_steps=opts.gradient_accumulation_steps)
         return step_fns[task]
 
     task2loss = {}

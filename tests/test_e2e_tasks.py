@@ -85,6 +85,7 @@ def test_pretrain_e2e(env):
         "--output_dir", env["root"] + "/pt_out",
         "--train_batch_size", "256",
         "--num_train_steps", "6", "--valid_steps", "6",
+        "--gradient_accumulation_steps", "2",
         "--warmup_steps", "2", "--max_bb", "10", "--min_bb", "3",
         "--dtype", "float32", "--seed", "1",
     ]
