@@ -1,0 +1,49 @@
+"""Hand-computed retrieval metrics + config-precedence contract."""
+
+import argparse
+import json
+
+import numpy as np
+
+from uniter_tpu.utils.itm_eval import itm_eval
+from uniter_tpu.utils.misc import parse_with_config
+
+
+def test_itm_eval_hand_computed():
+    # 3 texts, 3 images; t0<->i0, t1<->i1, t2<->i1 (i1 has two captions)
+    txt_ids = ["t0", "t1", "t2"]
+    img_ids = ["i0", "i1", "i2"]
+    txt2img = {"t0": "i0", "t1": "i1", "t2": "i1"}
+    img2txts = {"i0": ["t0"], "i1": ["t1", "t2"], "i2": []}
+    score = np.array([
+        [0.9, 0.1, 0.0],   # t0: gt i0 rank 0
+        [0.8, 0.5, 0.1],   # t1: gt i1 rank 1
+        [0.1, 0.9, 0.2],   # t2: gt i1 rank 0
+    ])
+    logs = itm_eval(score, txt_ids, img_ids, txt2img, img2txts)
+    # image retrieval: ranks 0,1,0 -> R@1 = 2/3
+    assert abs(logs["img_r1"] - 2 / 3) < 1e-9
+    assert logs["img_r5"] == 1.0
+    # text retrieval per image (i2 skipped, no captions):
+    #  i0 column [0.9, 0.8, 0.1]: gt t0 is top -> rank 0
+    #  i1 column [0.1, 0.5, 0.9]: gts {t1,t2}; best is t2 at rank 0
+    assert logs["txt_r1"] == 1.0
+    assert abs(logs["r_mean"]
+               - ((1 + 1 + 1) / 3 + (2 / 3 + 1 + 1) / 3) / 2) < 1e-9
+
+
+def test_parse_with_config_precedence(tmp_path):
+    cfg = {"learning_rate": 5e-4, "output_dir": "/from/json", "seed": 9}
+    path = tmp_path / "c.json"
+    path.write_text(json.dumps(cfg))
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config")
+    parser.add_argument("--learning_rate", type=float, default=1e-5)
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    argv = ["--config", str(path), "--learning_rate", "3e-4"]
+    args = parse_with_config(parser, argv)
+    assert args.learning_rate == 3e-4      # CLI beats JSON
+    assert args.output_dir == "/from/json"  # JSON beats default
+    assert args.seed == 9
+    assert not hasattr(args, "config")
