@@ -110,6 +110,14 @@ def main(opts):
         val_ds, BucketSpec(token_budget=opts.val_batch_size,
                            size_mul=size_mul),
         shuffle=False, drop_last=False)
+    test_loader = None
+    if opts.test_txt_db and opts.test_img_db:
+        test_ds = build_dataset(opts.test_txt_db, opts.test_img_db, opts,
+                                False)
+        test_loader = BucketLoader(
+            test_ds, BucketSpec(token_budget=opts.val_batch_size,
+                                size_mul=size_mul),
+            shuffle=False, drop_last=False)
 
     paired = opts.model in ("paired", "paired-attn")
 
@@ -126,8 +134,14 @@ def main(opts):
         return loss, {}
 
     def validate_fn(state, step):
+        # reference validates both splits each valid_steps
+        # (train_nlvr2.py:207-219)
         logs = validate(model, state.params, val_loader, paired)
         LOGGER.info("step %d: val acc %.4f", step, logs["acc"])
+        if test_loader is not None:
+            tlogs = validate(model, state.params, test_loader, paired)
+            LOGGER.info("step %d: test acc %.4f", step, tlogs["acc"])
+            logs.update({f"test_{k}": v for k, v in tlogs.items()})
         return logs
 
     return driver.run_training(
