@@ -64,16 +64,22 @@ def test_tp_sharding_runs():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_dp_matches_single_device():
-    """Train step on the 8-way DP mesh == single-device step with the
-    documented grad-sum scaling."""
+import pytest
+
+
+@pytest.mark.parametrize("scale", ["mean", "sum"])
+def test_dp_matches_single_device(scale):
+    """Train step on the 8-way DP mesh == single-device step. Every driver
+    trains with loss_scale="sum" (reference grad-sum semantics,
+    utils/distributed.py:16-43 denom=1): the global mean loss is scaled by
+    the dp size, so the single-device equivalent is loss_fn * dp."""
     model, params, batch = _setup()
 
-    def loss_fn(p, b, rng):
-        per = model.apply({"params": p}, b, True, deterministic=True)
-        return jnp.mean(per), {}
+    def run(mesh, scale, factor=1.0):
+        def loss_fn(p, b, rng):
+            per = model.apply({"params": p}, b, True, deterministic=True)
+            return jnp.mean(per) * factor, {}
 
-    def run(mesh, scale):
         tx = build_optimizer(params, 1e-3, grad_norm=2.0, weight_decay=0.01)
         state = TrainState.create(params, tx)
         b = batch
@@ -89,8 +95,50 @@ def test_dp_matches_single_device():
         return jax.tree.map(np.asarray, state.params)
 
     mesh = make_mesh(MeshConfig(data=8))
-    dp = run(mesh, "mean")
-    single = run(None, "mean")
+    dp = run(mesh, scale)
+    single = run(None, "mean", factor=8.0 if scale == "sum" else 1.0)
     diffs = jax.tree.leaves(jax.tree.map(
         lambda a, b: float(np.max(np.abs(a - b))), dp, single))
+    assert max(diffs) < 1e-5, max(diffs)
+
+
+def test_fsdp_train_step_matches_replicated():
+    """FSDP-sharded params + matching sharded Adam moments produce the same
+    update as fully-replicated state (ZeRO-3 is a layout, not a semantics,
+    change). Covers the dryrun's placement (mesh.param_sharding_full +
+    opt_state_sharding)."""
+    from uniter_tpu.parallel.mesh import (
+        opt_state_sharding, param_sharding_full, replicate,
+    )
+
+    model, params, batch = _setup()
+
+    def loss_fn(p, b, rng):
+        per = model.apply({"params": p}, b, True, deterministic=True)
+        return jnp.mean(per), {}
+
+    def run(fsdp):
+        mesh = make_mesh(MeshConfig(data=8))
+        mcfg = MeshConfig(data=8, fsdp=fsdp, fsdp_min_size=64)
+        tx = build_optimizer(params, 1e-3, grad_norm=2.0, weight_decay=0.01)
+        state = TrainState.create(params, tx)
+        psh = param_sharding_full(params, mesh, mcfg)
+        state = state.replace(
+            params=jax.device_put(state.params, psh),
+            opt_state=jax.device_put(
+                state.opt_state,
+                opt_state_sharding(state.opt_state, tx, psh, mesh)),
+            step=jax.device_put(state.step, replicate(mesh)),
+        )
+        bsh = batch_sharding(mesh)
+        b = jax.device_put(batch, jax.tree.map(lambda _: bsh, batch))
+        step = make_train_step(loss_fn, mesh=mesh, loss_scale="sum",
+                               donate=False)
+        state, m = step(state, b, jax.random.PRNGKey(0))
+        return jax.tree.map(np.asarray, state.params)
+
+    fsdp = run(True)
+    rep = run(False)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(a - b))), fsdp, rep))
     assert max(diffs) < 1e-5, max(diffs)

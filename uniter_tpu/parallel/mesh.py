@@ -114,6 +114,56 @@ def _tp_spec(path: str, shape, mesh: Mesh) -> P:
     return P()
 
 
+def _compose_fsdp(spec: P, shape, mesh: Mesh, min_size: int) -> P:
+    """Add a 'data'-axis shard (ZeRO-3) to a spec on its largest free axis."""
+    if int(np.prod(shape)) < min_size:
+        return spec
+    n = mesh.shape["data"]
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    for ax in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if parts[ax] is None and shape[ax] % n == 0:
+            parts[ax] = "data"
+            return P(*parts)
+    return spec
+
+
+def param_sharding_full(params: Any, mesh: Mesh,
+                        config: MeshConfig = MeshConfig()):
+    """Megatron TP over 'model' (when the mesh has one) composed with FSDP
+    over 'data' — the full-parallelism spec for uniter-large and beyond.
+    The reference has neither (SURVEY §2c: DP-only, <=330M params)."""
+    from uniter_tpu.models.checkpoint import flatten
+
+    tp = mesh.shape.get("model", 1) > 1
+    flat = flatten(params)
+    specs = {}
+    for path, leaf in flat.items():
+        spec = _tp_spec(path, leaf.shape, mesh) if tp else P()
+        if config.fsdp:
+            spec = _compose_fsdp(spec, leaf.shape, mesh, config.fsdp_min_size)
+        specs[path] = NamedSharding(mesh, spec)
+    out: dict = {}
+    for path, s in specs.items():
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = s
+    return out
+
+
+def opt_state_sharding(opt_state: Any, tx, param_shardings: Any, mesh: Mesh):
+    """Shard optimizer moments exactly like their parameters (ZeRO-3: the
+    Adam moments are 2x the param memory — replicating them while sharding
+    params would defeat FSDP). Non-param leaves (step counts) replicate."""
+    import optax
+
+    rep = replicate(mesh)
+    return optax.tree_map_params(
+        tx, lambda _leaf, s: s, opt_state, param_shardings,
+        transform_non_params=lambda _: rep)
+
+
 def param_sharding_tp(params: Any, mesh: Mesh):
     """Megatron-style TP specs over the 'model' axis (replicated elsewhere).
     Compose with FSDP by passing a mesh with both axes sized > 1."""
