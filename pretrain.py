@@ -11,7 +11,6 @@ losses (MLM / MRFR / ITM+OT / MRC-kl). One train step is compiled per
 from __future__ import annotations
 
 import argparse
-import time
 from typing import Dict
 
 import jax
@@ -31,7 +30,6 @@ from uniter_tpu.training.optim import build_optimizer
 from uniter_tpu.training.sched import get_lr_schedule
 from uniter_tpu.training.step import TrainState, make_train_step
 from uniter_tpu.utils.const import IMG_DIM
-from uniter_tpu.utils.logger import LOGGER, RunningMeter, TB_LOGGER
 from uniter_tpu.utils.misc import parse_with_config
 from uniter_tpu.utils.save import TrainStateSaver
 
@@ -72,9 +70,10 @@ DATASET_REGISTRY = {
 }
 
 
-def create_dataloaders(datasets_cfg, opts, mesh) -> Dict[str, tuple]:
+def create_dataloaders(datasets_cfg, opts, mesh, train=True) -> Dict[str, tuple]:
     """name -> (loader, ratio); name is '{task}_{corpus-name}'
-    (reference pretrain.py:116-165)."""
+    (reference pretrain.py:116-165). Validation loaders do one full pass
+    and never drop tail examples (drop_last=False)."""
     img_group = ImageDbGroup(opts.conf_th, opts.max_bb, opts.min_bb,
                              opts.num_bb, compress=not opts.uncompressed_db)
     out = {}
@@ -82,7 +81,8 @@ def create_dataloaders(datasets_cfg, opts, mesh) -> Dict[str, tuple]:
         name = dset["name"]
         txt_dbs = dset["db"] if isinstance(dset["db"], list) else [dset["db"]]
         img_dirs = dset["img"] if isinstance(dset["img"], list) else [dset["img"]]
-        for task, ratio in zip(dset["tasks"], dset["mix_ratio"]):
+        for task, ratio in zip(dset["tasks"], dset.get(
+                "mix_ratio", [1] * len(dset["tasks"]))):
             build = DATASET_REGISTRY[task]
             parts = []
             for txt_path, img_dir in zip(txt_dbs, img_dirs):
@@ -90,31 +90,39 @@ def create_dataloaders(datasets_cfg, opts, mesh) -> Dict[str, tuple]:
                 ds = build(txt_db, img_group[img_dir], opts)
                 parts.append(ds)
             ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
-            spec = driver.bucket_spec(opts, mesh, ds)
+            spec = driver.bucket_spec(
+                opts, mesh, ds,
+                budget=None if train else opts.val_batch_size)
             collate = type(parts[0]).collate
             loader = BucketLoader(ds, spec, collate=collate,
-                                  seed=opts.seed, loop=True,
+                                  seed=opts.seed, loop=train,
+                                  shuffle=train, drop_last=train,
                                   num_workers=opts.n_workers)
             out[f"{task}_{name}"] = (loader, ratio)
     return out
 
 
-def validate(model, params, val_loaders):
+def validate(model, params, val_loaders, pred_cache=None):
     """Per-task validation (reference pretrain.py:364-544): MLM acc, MRFR
-    per-feature loss, MRC(-kl) acc, ITM acc."""
+    per-feature loss, MRC(-kl) acc, ITM acc. ``pred_cache`` persists the
+    jitted predictors across validation rounds (a fresh lambda per call
+    would recompile every time)."""
     logs = {}
+    pred_cache = {} if pred_cache is None else pred_cache
     for name, loader in val_loaders.items():
         task = name.split("_")[0]
         n_correct, n_word, loss_sum = 0, 0, 0.0
-        if task.startswith("itm"):
-            pred = jax.jit(
-                lambda p, b: model.apply(
-                    {"params": p}, b, False, False, deterministic=True,
-                    method=UniterForPretraining.forward_itm))
-        else:
-            pred = jax.jit(
-                lambda p, b, t=task: model.apply(
-                    {"params": p}, b, t, False, deterministic=True))
+        if task not in pred_cache:
+            if task.startswith("itm"):
+                pred_cache[task] = jax.jit(
+                    lambda p, b: model.apply(
+                        {"params": p}, b, False, False, deterministic=True,
+                        method=UniterForPretraining.forward_itm))
+            else:
+                pred_cache[task] = jax.jit(
+                    lambda p, b, t=task: model.apply(
+                        {"params": p}, b, t, False, deterministic=True))
+        pred = pred_cache[task]
         for batch in loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
@@ -171,11 +179,8 @@ def main(opts):
     meta = MetaLoader(loaders, accum_steps=1, seed=opts.seed)
     val_loaders = {}
     if opts.val_datasets:
-        raw = create_dataloaders(opts.val_datasets, opts, mesh)
-        for name, (loader, _ratio) in raw.items():
-            loader.loop = False
-            loader.sampler.shuffle = False
-            val_loaders[name] = loader
+        raw = create_dataloaders(opts.val_datasets, opts, mesh, train=False)
+        val_loaders = {name: loader for name, (loader, _r) in raw.items()}
 
     tx = build_optimizer(
         params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
@@ -208,44 +213,32 @@ def main(opts):
                 accum_steps=opts.gradient_accumulation_steps)
         return step_fns[task]
 
-    task2loss = {}
-    rng = jax.random.PRNGKey(opts.seed)
-    n_examples = {}
-    t_start = time.time()
-    global_step = int(state.step)
-    for name, batch in iter(meta):
-        if global_step >= opts.num_train_steps:
-            break
-        task = name.split("_")[0]
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if isinstance(v, np.ndarray)}
-        rng, sub = jax.random.split(rng)
-        state, metrics = get_step(task)(state, jb, sub)
-        global_step = int(state.step)
-        n_examples[name] = n_examples.get(name, 0) + int(
-            batch["ex_weight"].sum())
-        meter = task2loss.setdefault(name, RunningMeter(f"loss/{name}"))
-        meter(float(metrics["loss"]))
-        if global_step % 100 == 0:
-            tot_ex = sum(n_examples.values())
-            ex_per_s = tot_ex / (time.time() - t_start)
-            TB_LOGGER.log_scalar_dict(
-                {m.name: m.val for m in task2loss.values()
-                 if m.val is not None})
-            TB_LOGGER.add_scalar("perf/ex_per_s", ex_per_s, global_step)
-            LOGGER.info("step %d/%d (%.0f ex/s) %s", global_step,
-                        opts.num_train_steps, ex_per_s,
-                        {m.name: round(m.val, 4) for m in task2loss.values()
-                         if m.val is not None})
-        if global_step and global_step % opts.valid_steps == 0:
-            if val_loaders:
-                logs = validate(model, state.params, val_loaders)
-                LOGGER.info("step %d validation: %s", global_step, logs)
-                TB_LOGGER.log_scalar_dict(
-                    {f"valid/{k}": v for k, v in logs.items()})
-            saver.save(global_step, state)
-    saver.save(int(state.step), state)
-    return state
+    def loss_units(task, batch):
+        # reference n_loss_units: the unreduced loss's leading dim
+        # (pretrain.py:266-293): masked tokens (mlm), masked regions (mrm),
+        # examples (itm)
+        if task == "mlm":
+            return (batch["mlm_tgt"] != -1).sum()
+        if task.startswith("mr"):
+            return batch["mrm_valid"].sum()
+        return batch["ex_weight"].sum()
+
+    pred_cache = {}
+
+    def validate_fn(state, step):
+        return (validate(model, state.params, val_loaders, pred_cache)
+                if val_loaders else {})
+
+    from uniter_tpu.training.loop import MixedTaskLoop
+
+    loop = MixedTaskLoop(
+        meta=meta, get_step=get_step, state=state, mesh=mesh,
+        num_train_steps=opts.num_train_steps, valid_steps=opts.valid_steps,
+        log_steps=getattr(opts, "log_steps", 100),
+        validate_fn=validate_fn, saver=saver, seed=opts.seed,
+        accum=accum > 1, loss_units_fn=loss_units,
+        profile_dir=getattr(opts, "profile_dir", None))
+    return loop.run()
 
 
 def get_parser():

@@ -8,11 +8,9 @@ rows + 81 special word rows with checkpoint surgeries.
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from uniter_tpu.config import IMG_LABEL_DIM
 from uniter_tpu.data.loader import BucketLoader, MetaLoader
@@ -28,7 +26,6 @@ from uniter_tpu.training.optim import build_optimizer
 from uniter_tpu.training.sched import get_lr_schedule
 from uniter_tpu.training.step import TrainState, make_train_step
 from uniter_tpu.utils.const import IMG_DIM
-from uniter_tpu.utils.logger import RunningMeter, TB_LOGGER
 from uniter_tpu.utils.misc import parse_with_config
 from uniter_tpu.utils.save import TrainStateSaver
 
@@ -90,7 +87,8 @@ def main(opts):
             spec = driver.bucket_spec(opts, mesh, ds)
             loaders[f"{task}_{dset['name']}"] = (
                 BucketLoader(ds, spec, collate=type(ds).collate,
-                             seed=opts.seed, loop=True), ratio)
+                             seed=opts.seed, loop=True,
+                             num_workers=opts.n_workers), ratio)
     accum = opts.gradient_accumulation_steps
     if accum > 1:
         from uniter_tpu.data.loader import AccumLoader
@@ -106,6 +104,9 @@ def main(opts):
         grad_norm=opts.grad_norm, optim=opts.optim)
     state = place_state(TrainState.create(params, tx), mesh)
     saver = TrainStateSaver(opts.output_dir)
+    restored = saver.restore(state)
+    if restored is not None:
+        state = restored
 
     step_fns = {}
 
@@ -121,33 +122,24 @@ def main(opts):
                 accum_steps=opts.gradient_accumulation_steps)
         return step_fns[task]
 
-    task2loss = {}
-    rng = jax.random.PRNGKey(opts.seed)
-    global_step = int(state.step)
-    t_start = time.time()
-    n_ex = 0
-    for name, batch in iter(meta):
-        if global_step >= opts.num_train_steps:
-            break
-        task = name.split("_")[0]
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if isinstance(v, np.ndarray)}
-        rng, sub = jax.random.split(rng)
-        state, metrics = get_step(task)(state, jb, sub)
-        global_step = int(state.step)
-        n_ex += int(batch["ex_weight"].sum())
-        meter = task2loss.setdefault(name, RunningMeter(f"loss/{name}"))
-        meter(float(metrics["loss"]))
-        if global_step % 100 == 0:
-            TB_LOGGER.log_scalar_dict(
-                {m.name: m.val for m in task2loss.values()
-                 if m.val is not None})
-            TB_LOGGER.add_scalar(
-                "perf/ex_per_s", n_ex / (time.time() - t_start), global_step)
-        if global_step and global_step % opts.valid_steps == 0:
-            saver.save(global_step, state)
-    saver.save(int(state.step), state)
-    return state
+    def loss_units(task, batch):
+        if task == "mlm":
+            return (batch["mlm_tgt"] != -1).sum()
+        if task.startswith("mr"):
+            return batch["mrm_valid"].sum()
+        return batch["ex_weight"].sum()
+
+    from uniter_tpu.training.loop import MixedTaskLoop
+
+    loop = MixedTaskLoop(
+        meta=meta, get_step=get_step, state=state, mesh=mesh,
+        num_train_steps=opts.num_train_steps, valid_steps=opts.valid_steps,
+        log_steps=getattr(opts, "log_steps", 100),
+        saver=saver, seed=opts.seed,
+        accum=opts.gradient_accumulation_steps > 1,
+        loss_units_fn=loss_units,
+        profile_dir=getattr(opts, "profile_dir", None))
+    return loop.run()
 
 
 def get_parser():

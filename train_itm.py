@@ -47,13 +47,49 @@ def build_model_and_params(opts, rng):
     return model, cfg, params
 
 
-def validate_retrieval(model, params, val_ds, t_bucket=64, r_bucket=64):
+def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None):
+    """Full-matrix R@K for ItmEvalDataset; windowed gt-rank recall for
+    ItmValDataset (the reference's in-training validation,
+    train_itm_hard_negatives.py:268-310: gt sits at window index 0 and is
+    ranked among the window's scores)."""
+    from uniter_tpu.data.itm import ItmEvalDataset
+    from uniter_tpu.parallel.collectives import all_gather_list
+
+    if t_bucket is None or r_bucket is None:
+        t_hint, r_hint = val_ds.bucket_hint()
+        t_bucket, r_bucket = t_bucket or t_hint, r_bucket or r_hint
     predict = jax.jit(
         lambda p, b: model.apply({"params": p}, b, False))
-    mat, txt_ids = inference_score_matrix(
-        predict, val_ds, params, t_bucket, r_bucket)
-    return itm_eval(mat, txt_ids, val_ds.all_img_ids, val_ds.txt2img,
-                    val_ds.img2txts)
+    if isinstance(val_ds, ItmEvalDataset):
+        mat, txt_ids = inference_score_matrix(
+            predict, val_ds, params, t_bucket, r_bucket,
+            **driver.shard_kw())
+        mats = all_gather_list((mat, txt_ids))
+        mat = np.concatenate([m for m, _ in mats if m.size])
+        txt_ids = [t for _, ts in mats for t in ts]
+        return itm_eval(mat, txt_ids, val_ds.all_img_ids, val_ds.txt2img,
+                        val_ds.img2txts)
+    shard = driver.shard_kw()
+    r1 = r5 = r10 = n = 0
+    for i in range(shard["shard_index"], len(val_ds), shard["shard_count"]):
+        scores = []
+        for batch in val_ds.get_batches(i, t_bucket, r_bucket):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+            scores.append(np.asarray(predict(params, jb))[:, 0])
+        s = np.concatenate(scores)
+        rank = int(np.argsort(-s).tolist().index(0))
+        r1 += rank < 1
+        r5 += rank < 5
+        r10 += rank < 10
+        n += 1
+    r1, r5, r10, n = (sum(v) for v in zip(
+        *all_gather_list((r1, r5, r10, n))))
+    n = max(n, 1)
+    logs = {"recall_1": r1 / n, "recall_5": r5 / n, "recall_10": r10 / n}
+    logs["r_mean"] = (logs["recall_1"] + logs["recall_5"]
+                      + logs["recall_10"]) / 3
+    return logs
 
 
 def main(opts):

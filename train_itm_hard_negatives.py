@@ -77,8 +77,13 @@ def main(opts):
                                 opts.num_train_steps),
         betas=tuple(opts.betas), weight_decay=opts.weight_decay,
         grad_norm=opts.grad_norm, optim=opts.optim)
-    state = TrainState.create(params, tx)
+    from uniter_tpu.training.loop import place_state
+
+    state = place_state(TrainState.create(params, tx), mesh)
     saver = TrainStateSaver(opts.output_dir)
+    restored = saver.restore(state)
+    if restored is not None:
+        state = restored
 
     def loss_fn(p, batch, rng):
         per_neg = model.apply(
@@ -89,31 +94,59 @@ def main(opts):
     # Mining + training happen in ONE compiled step. Gradients accumulate
     # over train_batch_size mined candidate-batches per optimizer update
     # (the reference's micro-step scheme, train_itm_hard_negatives.py:185-222)
-    # via a lax.scan over the stacked [accum, ...] batch.
-    step = make_train_step(loss_fn, mesh=None, loss_scale="mean",
+    # via a lax.scan over the stacked [accum, ...] batch. The candidate axis
+    # (1 + negative_size rows) is sharded over the mesh's data axis — the
+    # reference ran this recipe data-parallel on 16 GPUs.
+    step = make_train_step(loss_fn, mesh=mesh, loss_scale="mean",
                            accum_steps=opts.train_batch_size)
 
+    from uniter_tpu.data.loader import DevicePrefetcher
+    from uniter_tpu.training.loop import NanGuard, device_put_batch
+
+    def stacked_batches():
+        sources = itertools.cycle([loader_i, loader_t])
+        while True:
+            batches = [next(next(sources))
+                       for _ in range(opts.train_batch_size)]
+            yield {
+                k: np.stack([b[k] for b in batches])
+                for k in batches[0] if isinstance(batches[0][k], np.ndarray)
+            }
+
+    it = DevicePrefetcher(
+        stacked_batches(),
+        lambda b: device_put_batch(b, mesh, accum=True), depth=2)
+
     rng = jax.random.PRNGKey(opts.seed)
-    sources = itertools.cycle([loader_i, loader_t])
-    global_step = 0
+    guard = NanGuard()
+    global_step = int(state.step)
+    pending = []
+
+    def flush():
+        for s, dev_loss in pending:
+            val = float(dev_loss)
+            guard.check(val, s)
+            TB_LOGGER.add_scalar("loss", val, s)
+        pending.clear()
+
     while global_step < opts.num_train_steps:
-        batches = [next(next(sources))
-                   for _ in range(opts.train_batch_size)]
-        stacked = {
-            k: jnp.asarray(np.stack([b[k] for b in batches]))
-            for k in batches[0] if isinstance(batches[0][k], np.ndarray)
-        }
+        stacked = next(it)
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, stacked, sub)
-        global_step = int(state.step)
-        TB_LOGGER.add_scalar("loss", float(metrics["loss"]), global_step)
+        global_step += 1
+        pending.append((global_step, metrics["loss"]))
+        if global_step % 100 == 0:
+            flush()
         if global_step and global_step % opts.valid_steps == 0:
+            flush()
             logs = train_itm.validate_retrieval(model, state.params, val_ds)
             LOGGER.info("step %d: r_mean %.4f", global_step, logs["r_mean"])
             TB_LOGGER.log_scalar_dict(
                 {f"valid/{k}": v for k, v in logs.items()})
             saver.save(global_step, state)
-    saver.save(int(state.step), state)
+    flush()
+    if global_step % max(opts.valid_steps, 1) != 0:
+        saver.save(global_step, state)
     return state
 
 

@@ -151,43 +151,20 @@ def main(opts):
 
 def get_parser():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=str)
+    driver.add_common_args(parser)
     parser.add_argument("--train_txt_db", type=str)
     parser.add_argument("--train_img_db", type=str)
     parser.add_argument("--val_txt_db", type=str)
     parser.add_argument("--val_img_db", type=str)
     parser.add_argument("--test_txt_db", type=str)
     parser.add_argument("--test_img_db", type=str)
-    parser.add_argument("--checkpoint", type=str, default="")
-    parser.add_argument("--model_config", type=str)
     parser.add_argument("--model", default="paired-attn",
                         choices=list(MODEL_REGISTRY))
     parser.add_argument("--use_img_type", action="store_true", default=True)
-    parser.add_argument("--output_dir", default=None, type=str)
-    parser.add_argument("--max_txt_len", type=int, default=60)
-    parser.add_argument("--conf_th", type=float, default=0.2)
-    parser.add_argument("--max_bb", type=int, default=100)
-    parser.add_argument("--min_bb", type=int, default=10)
-    parser.add_argument("--num_bb", type=int, default=36)
-    parser.add_argument("--train_batch_size", type=int, default=10240)
-    parser.add_argument("--val_batch_size", type=int, default=10240)
-    parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
-    parser.add_argument("--learning_rate", type=float, default=3e-5)
-    parser.add_argument("--valid_steps", type=int, default=500)
-    parser.add_argument("--num_train_steps", type=int, default=8000)
-    parser.add_argument("--optim", default="adamw")
-    parser.add_argument("--betas", nargs=2, type=float, default=[0.9, 0.98])
-    parser.add_argument("--dropout", type=float, default=0.1)
-    parser.add_argument("--weight_decay", type=float, default=0.01)
-    parser.add_argument("--grad_norm", type=float, default=2.0)
-    parser.add_argument("--warmup_steps", type=int, default=800)
-    parser.add_argument("--seed", type=int, default=77)
-    parser.add_argument("--dtype", default="bfloat16")
-    parser.add_argument("--attention_impl", default="xla")
-    parser.add_argument("--fp16", action="store_true",
-                        help="accepted for config compat; bf16 is used")
-    parser.add_argument("--n_workers", type=int, default=4)
-    parser.add_argument("--pin_mem", action="store_true")
+    # reference recipe defaults (config/train-nlvr2-base-1gpu.json)
+    parser.set_defaults(train_batch_size=10240, val_batch_size=10240,
+                        learning_rate=3e-5, valid_steps=500,
+                        num_train_steps=8000, warmup_steps=800, seed=77)
     return parser
 
 

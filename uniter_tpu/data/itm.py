@@ -180,11 +180,20 @@ class ItmValDataset(JointDataset):
         self.txt2img = {i: f for i, f in zip(self.ids, self.img_fnames)}
         self.img2txts = txt_db.img2txts
         self.all_img_ids = list(self.img2txts.keys())
+        self._img_pos = {im: j for j, im in enumerate(self.all_img_ids)}
         self.bs = min(mini_batch_size, len(self.all_img_ids))
+
+    def bucket_hint(self):
+        """(t_bucket, r_bucket) covering the dataset's real sizes — derive
+        instead of hard-coding so config changes can't silently truncate."""
+        max_t = max(self.txt_lens, default=30) + 2  # +[CLS]/[SEP]
+        max_r = max((self.img_db.name2nbb[im] for im in self.all_img_ids),
+                    default=4)
+        return ((max_t + 7) // 8) * 8, ((max_r + 3) // 4) * 4
 
     def _window(self, i) -> List[str]:
         gt_img = self.txt2img[self.ids[i]]
-        j = self.all_img_ids.index(gt_img)
+        j = self._img_pos[gt_img]
         neg = [
             self.all_img_ids[(j + 1 + k) % len(self.all_img_ids)]
             for k in range(self.bs - 1)
@@ -210,6 +219,7 @@ class ItmEvalDataset(ItmValDataset):
         super().__init__(*args, **kw)
         self.all_img_ids = sorted(
             self.all_img_ids, key=lambda i: self.img_db.name2nbb[i])
+        self._img_pos = {im: j for j, im in enumerate(self.all_img_ids)}
 
     def get_batches(self, i: int, t_bucket, r_bucket):
         out = []

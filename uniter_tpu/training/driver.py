@@ -47,6 +47,7 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--learning_rate", type=float, default=3e-5)
     parser.add_argument("--lr_mul", type=float, default=1.0)
     parser.add_argument("--valid_steps", type=int, default=1000)
+    parser.add_argument("--log_steps", type=int, default=100)
     parser.add_argument("--num_train_steps", type=int, default=8000)
     parser.add_argument("--optim", default="adamw")
     parser.add_argument("--betas", nargs=2, type=float, default=[0.9, 0.98])
@@ -61,6 +62,12 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="accepted for config compat; bf16 is used")
     parser.add_argument("--n_workers", type=int, default=4)
     parser.add_argument("--pin_mem", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of a few hot-loop "
+                             "steps here")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3: shard params + optimizer moments over "
+                             "the data axis (for uniter-large scale)")
     return parser
 
 
@@ -201,7 +208,8 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         betas=tuple(opts.betas), weight_decay=opts.weight_decay,
         grad_norm=opts.grad_norm, optim=opts.optim,
         lr_mul=getattr(opts, "lr_mul", 1.0), lr_mul_paths=lr_mul_paths)
-    state = place_state(TrainState.create(params, tx), mesh)
+    state = place_state(TrainState.create(params, tx), mesh,
+                        fsdp=getattr(opts, "fsdp", False))
     saver = TrainStateSaver(opts.output_dir)
     restored = saver.restore(state)
     if restored is not None:
@@ -211,8 +219,10 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         loss_fn=loss_fn, state=state, train_loader=train_loader, mesh=mesh,
         num_train_steps=opts.num_train_steps,
         gradient_accumulation_steps=opts.gradient_accumulation_steps,
-        valid_steps=opts.valid_steps, validate_fn=validate_fn, saver=saver,
-        seed=opts.seed)
+        valid_steps=opts.valid_steps,
+        log_steps=getattr(opts, "log_steps", 100),
+        validate_fn=validate_fn, saver=saver,
+        seed=opts.seed, profile_dir=getattr(opts, "profile_dir", None))
     state = loop.run()
     LOGGER.info("training finished at step %d", int(state.step))
     return state

@@ -1,13 +1,22 @@
-"""Shared fine-tune training loop — the reference's driver skeleton
-(train_nlvr2.py:55-276, replicated in every train_*.py) as one reusable
-engine.
+"""Shared training loops — the reference's driver skeletons as reusable
+engines.
 
-Responsibilities: mesh + state placement, step-based loop over an infinite
-bucketed loader, LR scheduling (inside the optax chain), EMA loss meters and
-the reference's TB scalar names (``loss``, ``lr``, ``grad_norm``,
-``perf/ex_per_s``), periodic validation callbacks, Orbax train-state
-checkpointing with resume (which the reference lacked, utils/save.py:70-73
-TODO), and end-of-training weight export.
+``TrainLoop`` is the fine-tune hot loop (train_nlvr2.py:55-276, replicated
+in every reference train_*.py); ``MixedTaskLoop`` is the pretraining hot
+loop (pretrain.py:255-365, shared with pretrain_vcr.py).
+
+Responsibilities: mesh + state placement (replicated or ZeRO-3/FSDP),
+step-based loop over an infinite bucketed loader with device prefetch, LR
+scheduling (inside the optax chain), EMA loss meters and the reference's TB
+scalar names (``loss``, ``lr``, ``grad_norm``, ``perf/ex_per_s``,
+``perf/{task}_{ex,in,loss}_per_s``), periodic validation callbacks, Orbax
+train-state checkpointing with resume (which the reference lacked,
+utils/save.py:70-73 TODO), and end-of-training weight export.
+
+Metric readback is deferred to the log boundary: calling ``float(loss)``
+every step forces a device->host sync that defeats async dispatch (the jit
+step returns before the TPU finishes; the readback would block the host
+from enqueueing the next step).
 """
 
 from __future__ import annotations
@@ -18,14 +27,33 @@ from typing import Any, Callable, Dict, Iterable, Optional
 import jax
 import numpy as np
 
-from uniter_tpu.parallel.mesh import batch_sharding, replicate
+from uniter_tpu.parallel.mesh import (
+    MeshConfig, batch_sharding, opt_state_sharding, param_sharding_full,
+    replicate,
+)
 from uniter_tpu.training.step import TrainState, make_train_step
 from uniter_tpu.utils.logger import LOGGER, RunningMeter, TB_LOGGER
 
 
-def place_state(state: TrainState, mesh) -> TrainState:
-    rep = replicate(mesh)
-    return jax.device_put(state, rep)
+def place_state(state: TrainState, mesh, *, fsdp: bool = False,
+                fsdp_min_size: int = 2 ** 16) -> TrainState:
+    """Place the train state on the mesh: fully replicated (the reference's
+    DP semantics) or ZeRO-3 (params AND Adam moments sharded over 'data';
+    moments are 2x the param memory, so sharding only params would defeat
+    the point)."""
+    if not fsdp:
+        return jax.device_put(state, replicate(mesh))
+    mcfg = MeshConfig(data=mesh.shape["data"],
+                      model=mesh.shape.get("model", 1),
+                      fsdp=True, fsdp_min_size=fsdp_min_size)
+    psh = param_sharding_full(state.params, mesh, mcfg)
+    return state.replace(
+        params=jax.device_put(state.params, psh),
+        opt_state=jax.device_put(
+            state.opt_state,
+            opt_state_sharding(state.opt_state, state.tx, psh, mesh)),
+        step=jax.device_put(state.step, replicate(mesh)),
+    )
 
 
 def default_prng_key(seed: int):
@@ -36,8 +64,14 @@ def default_prng_key(seed: int):
     return jax.random.key(seed, impl=impl)
 
 
-def device_put_batch(batch: Dict[str, Any], mesh):
-    bsh = batch_sharding(mesh)
+def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False):
+    """Shard the batch over the mesh's data axis. Accumulation batches are
+    [accum, B, ...]: the *second* axis is the batch axis (sharding axis 0
+    would split the scan axis across devices)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bsh = (NamedSharding(mesh, P(None, "data")) if accum
+           else batch_sharding(mesh))
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
@@ -49,6 +83,37 @@ def device_put_batch(batch: Dict[str, Any], mesh):
 
 def jnp_batch(batch):
     return {k: v for k, v in batch.items() if isinstance(v, (np.ndarray,))}
+
+
+def _clamp_profile(profile_steps, num_train_steps):
+    """Fit the profiled step window inside the run (short smoke runs would
+    otherwise never hit the default 10-15 window)."""
+    start, stop = profile_steps
+    stop = min(stop, max(num_train_steps - 2, 0))
+    start = min(start, max(stop - 1, 0))
+    return (start, stop)
+
+
+class NanGuard:
+    """Abort after ``limit`` consecutive non-finite losses (checked at flush
+    boundaries on the deferred values; the last good checkpoint stays
+    resumable)."""
+
+    def __init__(self, limit: int = 5):
+        self.limit = limit
+        self.streak = 0
+
+    def check(self, loss_val: float, step: int):
+        if np.isfinite(loss_val):
+            self.streak = 0
+            return
+        self.streak += 1
+        LOGGER.warning("non-finite loss at step %d (%d consecutive)",
+                       step, self.streak)
+        if self.streak >= self.limit:
+            raise FloatingPointError(
+                f"loss non-finite for {self.streak} consecutive steps at "
+                f"step {step} — aborting (last good checkpoint is resumable)")
 
 
 class TrainLoop:
@@ -83,7 +148,7 @@ class TrainLoop:
         self.saver = saver
         self.rng = default_prng_key(seed)
         self.profile_dir = profile_dir
-        self.profile_steps = profile_steps
+        self.profile_steps = _clamp_profile(profile_steps, num_train_steps)
         self.prefetch = prefetch
         if self.accum > 1:
             from uniter_tpu.data.loader import AccumLoader
@@ -96,11 +161,13 @@ class TrainLoop:
     def run(self):
         state = self.state
         meter = RunningMeter("loss")
+        guard = NanGuard()
         start_step = int(state.step)
         if start_step > 0:
             LOGGER.info("resuming from step %d", start_step)
         n_examples = 0
         t_start = time.time()
+
         def host_weight(batch):
             return int(batch.get(
                 "ex_weight", np.ones(batch["input_ids"].shape[:1])).sum())
@@ -112,18 +179,29 @@ class TrainLoop:
 
             def put(batch):
                 return (host_weight(batch),
-                        device_put_batch(jnp_batch(batch), self.mesh))
+                        device_put_batch(jnp_batch(batch), self.mesh,
+                                         accum=self.accum > 1))
 
             it = DevicePrefetcher(iter(self.train_loader), put,
                                   depth=self.prefetch)
         else:
             it = (
                 (host_weight(b),
-                 device_put_batch(jnp_batch(b), self.mesh)
+                 device_put_batch(jnp_batch(b), self.mesh,
+                                  accum=self.accum > 1)
                  if self.mesh is not None else jnp_batch(b))
                 for b in self.train_loader
             )
         global_step = start_step
+        pending = []  # (step, loss device scalar) — flushed at boundaries
+
+        def flush():
+            for s, dev_loss in pending:
+                val = float(dev_loss)
+                guard.check(val, s)
+                meter(val)
+            pending.clear()
+
         while global_step < self.num_train_steps:
             n_ex, jb = next(it)
             n_examples += n_ex
@@ -132,26 +210,15 @@ class TrainLoop:
                     and global_step == self.profile_steps[0]):
                 jax.profiler.start_trace(self.profile_dir)
             state, metrics = self.step_fn(state, jb, sub)
+            global_step += 1  # == int(state.step) without a device sync
+            pending.append((global_step, metrics["loss"]))
             if (self.profile_dir is not None
-                    and global_step == self.profile_steps[1]):
+                    and global_step - 1 == self.profile_steps[1]):
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 LOGGER.info("profiler trace written to %s", self.profile_dir)
-            global_step = int(state.step)
-            loss_val = float(metrics["loss"])
-            if not np.isfinite(loss_val):
-                self._nan_streak = getattr(self, "_nan_streak", 0) + 1
-                LOGGER.warning("non-finite loss at step %d (%d consecutive)",
-                               global_step, self._nan_streak)
-                if self._nan_streak >= 5:
-                    raise FloatingPointError(
-                        f"loss non-finite for {self._nan_streak} consecutive "
-                        f"steps at step {global_step} — aborting (last good "
-                        f"checkpoint is resumable)")
-            else:
-                self._nan_streak = 0
-            meter(loss_val)
             if global_step % self.log_steps == 0:
+                flush()
                 ex_per_s = n_examples / (time.time() - t_start)
                 TB_LOGGER.add_scalar("loss", meter.val, global_step)
                 TB_LOGGER.add_scalar(
@@ -162,6 +229,7 @@ class TrainLoop:
                     global_step, self.num_train_steps, meter.val or 0.0,
                     ex_per_s)
             if self.valid_steps and global_step % self.valid_steps == 0:
+                flush()
                 if self.validate_fn is not None:
                     logs = self.validate_fn(state, global_step)
                     if logs:
@@ -170,8 +238,160 @@ class TrainLoop:
                             step=global_step)
                 if self.saver is not None:
                     self.saver.save(global_step, state)
-        if self.saver is not None and int(state.step) % max(
+        flush()
+        assert global_step == int(state.step)
+        if self.saver is not None and global_step % max(
                 self.valid_steps, 1) != 0:
-            self.saver.save(int(state.step), state)
+            self.saver.save(global_step, state)
+        self.state = state
+        return state
+
+
+class MixedTaskLoop:
+    """Pretraining hot loop (reference pretrain.py:255-365): mixed-task
+    batches from a MetaLoader, one compiled step per task, mesh-sharded
+    batches with device prefetch, per-task loss meters and throughput
+    telemetry (``perf/{task}_ex_per_s``, ``_in_per_s``, ``_loss_per_s`` —
+    reference pretrain.py:343-356), deferred metric readback, periodic
+    validation + Orbax checkpointing."""
+
+    def __init__(
+        self,
+        *,
+        meta: Iterable,  # yields (name, batch) forever
+        get_step: Callable[[str], Callable],  # task -> jitted step
+        state: TrainState,
+        mesh,
+        num_train_steps: int,
+        valid_steps: int = 1000,
+        log_steps: int = 100,
+        validate_fn: Optional[Callable] = None,  # (state, step) -> dict
+        saver=None,
+        seed: int = 0,
+        accum: bool = False,
+        loss_units_fn: Optional[Callable] = None,  # (task, batch) -> int
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 15),
+        prefetch: int = 2,
+    ):
+        self.meta = meta
+        self.get_step = get_step
+        self.state = state
+        self.mesh = mesh
+        self.num_train_steps = num_train_steps
+        self.valid_steps = valid_steps
+        self.log_steps = log_steps
+        self.validate_fn = validate_fn
+        self.saver = saver
+        self.rng = default_prng_key(seed)
+        self.accum = accum
+        self.loss_units_fn = loss_units_fn
+        self.profile_dir = profile_dir
+        self.profile_steps = _clamp_profile(profile_steps, num_train_steps)
+        self.prefetch = prefetch
+
+    def _counters(self, name, batch):
+        n_ex = int(batch["ex_weight"].sum()) if "ex_weight" in batch else int(
+            batch["input_ids"].shape[0])
+        n_in = int(batch["attn_mask"].sum()) if "attn_mask" in batch else n_ex
+        task = name.split("_")[0]
+        n_loss = (int(self.loss_units_fn(task, batch))
+                  if self.loss_units_fn is not None else n_ex)
+        return n_ex, n_in, n_loss
+
+    def run(self):
+        state = self.state
+        guard = NanGuard()
+        task2loss: Dict[str, RunningMeter] = {}
+        n_examples: Dict[str, int] = {}
+        n_in_units: Dict[str, int] = {}
+        n_loss_units: Dict[str, int] = {}
+        t_start = time.time()
+        global_step = int(state.step)
+        if global_step > 0:
+            LOGGER.info("resuming from step %d", global_step)
+
+        def put(item):
+            name, batch = item
+            return (name, self._counters(name, batch),
+                    device_put_batch(jnp_batch(batch), self.mesh,
+                                     accum=self.accum))
+
+        if self.prefetch > 0:
+            from uniter_tpu.data.loader import DevicePrefetcher
+
+            it = DevicePrefetcher(iter(self.meta), put, depth=self.prefetch)
+        else:
+            it = (put(item) for item in iter(self.meta))
+
+        pending = []  # (step, name, loss device scalar)
+
+        def flush():
+            for s, name, dev_loss in pending:
+                val = float(dev_loss)
+                guard.check(val, s)
+                task2loss.setdefault(
+                    name, RunningMeter(f"loss/{name}"))(val)
+            pending.clear()
+
+        while global_step < self.num_train_steps:
+            name, (n_ex, n_in, n_loss), jb = next(it)
+            task = name.split("_")[0]
+            n_examples[name] = n_examples.get(name, 0) + n_ex
+            n_in_units[name] = n_in_units.get(name, 0) + n_in
+            n_loss_units[name] = n_loss_units.get(name, 0) + n_loss
+            self.rng, sub = jax.random.split(self.rng)
+            if (self.profile_dir is not None
+                    and global_step == self.profile_steps[0]):
+                jax.profiler.start_trace(self.profile_dir)
+            state, metrics = self.get_step(task)(state, jb, sub)
+            global_step += 1
+            pending.append((global_step, name, metrics["loss"]))
+            if (self.profile_dir is not None
+                    and global_step - 1 == self.profile_steps[1]):
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                LOGGER.info("profiler trace written to %s", self.profile_dir)
+            if global_step % self.log_steps == 0:
+                flush()
+                dt = time.time() - t_start
+                TB_LOGGER.log_scalar_dict(
+                    {m.name: m.val for m in task2loss.values()
+                     if m.val is not None}, step=global_step)
+                tot_ex = sum(n_examples.values())
+                TB_LOGGER.add_scalar(
+                    "perf/ex_per_s", tot_ex / dt, global_step)
+                for t_name in n_examples:
+                    TB_LOGGER.add_scalar(
+                        f"perf/{t_name}_ex_per_s",
+                        n_examples[t_name] / dt, global_step)
+                    TB_LOGGER.add_scalar(
+                        f"perf/{t_name}_in_per_s",
+                        n_in_units[t_name] / dt, global_step)
+                    TB_LOGGER.add_scalar(
+                        f"perf/{t_name}_loss_per_s",
+                        n_loss_units[t_name] / dt, global_step)
+                LOGGER.info(
+                    "step %d/%d (%.0f ex/s) %s", global_step,
+                    self.num_train_steps, tot_ex / dt,
+                    {m.name: round(m.val, 4) for m in task2loss.values()
+                     if m.val is not None})
+            if self.valid_steps and global_step % self.valid_steps == 0:
+                flush()
+                if self.validate_fn is not None:
+                    logs = self.validate_fn(state, global_step)
+                    if logs:
+                        LOGGER.info("step %d validation: %s",
+                                    global_step, logs)
+                        TB_LOGGER.log_scalar_dict(
+                            {f"valid/{k}": v for k, v in logs.items()},
+                            step=global_step)
+                if self.saver is not None:
+                    self.saver.save(global_step, state)
+        flush()
+        assert global_step == int(state.step)
+        if self.saver is not None and global_step % max(
+                self.valid_steps, 1) != 0:
+            self.saver.save(global_step, state)
         self.state = state
         return state

@@ -99,7 +99,11 @@ def make_train_step(
                 micro, (zero, jnp.zeros((), jnp.float32)), (batch, rngs)
             )
             loss = loss / accum_steps
-            metrics = jax.tree.map(lambda m: m[-1], metrics_stack)
+            # aux metrics: mean over micro-batches (keeping only the last
+            # micro-batch would misreport any future per-step aux scalars)
+            metrics = jax.tree.map(
+                lambda m: jnp.mean(m.astype(jnp.float32), axis=0),
+                metrics_stack)
         new_state = state.apply_gradients(grads)
         metrics = dict(metrics)
         metrics["loss"] = loss / scale
