@@ -239,6 +239,68 @@ def pretrain_head_params_from_state_dict(state_dict):
     return flat
 
 
+# Fine-tune task-head keys (reference model/{vqa,vcr,nlvr2,itm,re}.py module
+# names) -> flax paths, so released/reference fine-tuned .pt checkpoints load
+# directly into the task models. Listed as (flax_path, torch_key, kind);
+# first matching torch key wins (RE's re_output is a Linear at mlp=1 but a
+# Sequential at mlp=2, reference model/re.py:30-35).
+_TASK_HEAD_MAP = (
+    # VQA / VE: Sequential(Linear, GELU, LayerNorm, Linear) (model/vqa.py:23-28)
+    ("vqa_hidden/kernel", "vqa_output.0.weight", "linear_w"),
+    ("vqa_hidden/bias", "vqa_output.0.bias", "raw"),
+    ("vqa_ln/weight", "vqa_output.2.weight", "raw"),
+    ("vqa_ln/bias", "vqa_output.2.bias", "raw"),
+    ("vqa_out/kernel", "vqa_output.3.weight", "linear_w"),
+    ("vqa_out/bias", "vqa_output.3.bias", "raw"),
+    # VCR: Sequential(Linear, ReLU, LayerNorm, Linear) (model/vcr.py:24-29)
+    ("vcr_hidden/kernel", "vcr_output.0.weight", "linear_w"),
+    ("vcr_hidden/bias", "vcr_output.0.bias", "raw"),
+    ("vcr_ln/weight", "vcr_output.2.weight", "raw"),
+    ("vcr_ln/bias", "vcr_output.2.bias", "raw"),
+    ("vcr_out/kernel", "vcr_output.3.weight", "linear_w"),
+    ("vcr_out/bias", "vcr_output.3.bias", "raw"),
+    # NLVR2 heads (model/nlvr2.py:51,142-147)
+    ("nlvr2_output/kernel", "nlvr2_output.weight", "linear_w"),
+    ("nlvr2_output/bias", "nlvr2_output.bias", "raw"),
+    ("attn1/in_proj_weight", "attn1.in_proj_weight", "raw"),
+    ("attn1/in_proj_bias", "attn1.in_proj_bias", "raw"),
+    ("attn1/out_proj/kernel", "attn1.out_proj.weight", "linear_w"),
+    ("attn1/out_proj/bias", "attn1.out_proj.bias", "raw"),
+    ("attn2/in_proj_weight", "attn2.in_proj_weight", "raw"),
+    ("attn2/in_proj_bias", "attn2.in_proj_bias", "raw"),
+    ("attn2/out_proj/kernel", "attn2.out_proj.weight", "linear_w"),
+    ("attn2/out_proj/bias", "attn2.out_proj.bias", "raw"),
+    ("fc_dense/kernel", "fc.0.weight", "linear_w"),
+    ("fc_dense/bias", "fc.0.bias", "raw"),
+    ("attn_pool/fc/kernel", "attn_pool.fc.0.weight", "linear_w"),
+    ("attn_pool/fc/bias", "attn_pool.fc.0.bias", "raw"),
+    # ITM / retrieval (model/itm.py:20-22)
+    ("itm_output/kernel", "itm_output.weight", "linear_w"),
+    ("itm_output/bias", "itm_output.bias", "raw"),
+    ("rank_output/kernel", "rank_output.weight", "linear_w"),
+    ("rank_output/bias", "rank_output.bias", "raw"),
+    # RE (model/re.py:27-35): mlp=2 Sequential first, then mlp=1 Linear
+    ("re_hidden/kernel", "re_output.0.weight", "linear_w"),
+    ("re_hidden/bias", "re_output.0.bias", "raw"),
+    ("re_ln/weight", "re_output.2.weight", "raw"),
+    ("re_ln/bias", "re_output.2.bias", "raw"),
+    ("re_output/kernel", "re_output.3.weight", "linear_w"),
+    ("re_output/bias", "re_output.3.bias", "raw"),
+    ("re_output/kernel", "re_output.weight", "linear_w"),
+    ("re_output/bias", "re_output.bias", "raw"),
+)
+
+
+def task_head_params_from_state_dict(state_dict):
+    """Fine-tune head tensors (at the params root) from a normalized state
+    dict; combine with ``uniter_params_from_state_dict`` for the trunk."""
+    flat = {}
+    for path, tkey, kind in _TASK_HEAD_MAP:
+        if tkey in state_dict and path not in flat:
+            flat[path] = _convert(state_dict[tkey], kind)
+    return flat
+
+
 # ---------------------------------------------------------------------------
 # Post-load surgeries (reference §5 checkpoint bullet)
 # ---------------------------------------------------------------------------
