@@ -65,9 +65,24 @@ def main(opts):
         params = infer.load_params(
             infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
 
-    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
-    mat, txt_ids = inference_score_matrix(
-        predict, ds, params, opts.txt_bucket, opts.img_bucket)
+    from uniter_tpu.parallel.collectives import all_gather_list
+    from uniter_tpu.training.driver import shard_kw
+
+    if opts.eval_impl == "fast":
+        from uniter_tpu.utils.itm_fast import fast_score_matrix
+
+        mat, txt_ids = fast_score_matrix(
+            model, params, ds, opts.txt_bucket, opts.img_bucket,
+            txt_tile=opts.txt_tile, img_tile=opts.img_tile,
+            dtype=cfg.dtype, **shard_kw())
+    else:
+        predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+        mat, txt_ids = inference_score_matrix(
+            predict, ds, params, opts.txt_bucket, opts.img_bucket,
+            **shard_kw())
+    parts = all_gather_list((mat, txt_ids))
+    mat = np.concatenate([m for m, _ in parts if m.size])
+    txt_ids = [t for _, ts in parts for t in ts]
     logs = itm_eval(mat, txt_ids, ds.all_img_ids, ds.txt2img, ds.img2txts)
 
     os.makedirs(opts.output_dir, exist_ok=True)
@@ -91,6 +106,12 @@ def get_parser():
     parser.add_argument("--batch_size", type=int, default=400)
     parser.add_argument("--txt_bucket", type=int, default=64)
     parser.add_argument("--img_bucket", type=int, default=64)
+    parser.add_argument("--eval_impl", default="fast",
+                        choices=["fast", "batched"],
+                        help="fast: device-resident tiled scoring; batched: "
+                             "per-text minibatches (reference-style)")
+    parser.add_argument("--txt_tile", type=int, default=16)
+    parser.add_argument("--img_tile", type=int, default=32)
     return parser
 
 

@@ -53,6 +53,131 @@ def process_nlvr2(jsonl, db, tokenize, missing=None):
     return id2len, txt2img
 
 
+def process_vqa(questions, annotations, ans2label, db, tokenize,
+                img_format="coco_{:012}.npz"):
+    """VQA v2 questions (+ optional annotations) -> txt_db records with the
+    soft-score target contract data/vqa.py consumes ({labels, scores};
+    score = min(1, count/3), the official VQA accuracy weighting). The
+    reference shipped these DBs pre-built; this is the missing L0 recipe."""
+    from collections import Counter
+
+    id2len, txt2img = {}, {}
+    for q in questions:
+        qid = str(q["question_id"])
+        input_ids = tokenize(q["question"])
+        img_fname = img_format.format(int(q["image_id"]))
+        target = None
+        if annotations is not None:
+            ann = annotations[int(q["question_id"])]
+            counts = Counter(a["answer"] for a in ann["answers"])
+            labels, scores = [], []
+            for a, c in counts.items():
+                if a in ans2label:
+                    labels.append(int(ans2label[a]))
+                    scores.append(min(1.0, c / 3.0))
+            target = {"labels": labels, "scores": scores}
+        db[qid] = dict(question_id=q["question_id"], input_ids=input_ids,
+                       img_fname=img_fname, target=target)
+        id2len[qid] = len(input_ids)
+        txt2img[qid] = img_fname
+    return id2len, txt2img
+
+
+def process_ve(jsonl, db, tokenize,
+               img_format="flickr30k_{}.npz"):
+    """SNLI-VE jsonl (sentence2 hypothesis + gold_label) -> txt_db with the
+    3-way target as a {labels, scores} dict (VE = 3-answer VQA,
+    reference data/ve.py + utils/misc.py VE_ENT2IDX)."""
+    from uniter_tpu.utils.misc import VE_ENT2IDX
+
+    id2len, txt2img = {}, {}
+    for line in jsonl:
+        line = line.strip()
+        if not line:
+            continue
+        ex = json.loads(line)
+        id_ = str(ex["pairID"])
+        input_ids = tokenize(ex["sentence2"])
+        img_fname = img_format.format(str(ex["Flickr30K_ID"]))
+        label = ex.get("gold_label")
+        target = (None if label in (None, "-")
+                  else {"labels": [VE_ENT2IDX[label]], "scores": [1.0]})
+        db[id_] = dict(input_ids=input_ids, img_fname=img_fname,
+                       target=target)
+        id2len[id_] = len(input_ids)
+        txt2img[id_] = img_fname
+    return id2len, txt2img
+
+
+def process_captions(captions, db, tokenize, img_format="coco_{:012}.npz"):
+    """COCO/Flickr caption annotations ({'annotations': [{id, image_id,
+    caption}]}) -> ITM/pretraining txt_db (one record per caption;
+    txt2img + img2txts for retrieval)."""
+    id2len, txt2img = {}, {}
+    for ann in captions["annotations"]:
+        id_ = str(ann["id"])
+        input_ids = tokenize(ann["caption"])
+        img_fname = img_format.format(int(ann["image_id"])) \
+            if not isinstance(ann["image_id"], str) \
+            else img_format.format(ann["image_id"])
+        db[id_] = dict(input_ids=input_ids, img_fname=img_fname)
+        id2len[id_] = len(input_ids)
+        txt2img[id_] = img_fname
+    return id2len, txt2img
+
+
+# VCR object mentions become per-object special tokens appended after the
+# base vocab (the VCR model widens word_embeddings by 81 rows,
+# reference model/vcr.py:43-50 / train_vcr.py:37).
+VCR_NUM_SPECIAL = 81
+
+
+def _tokenize_vcr(mixed, objects, tokenize, vocab_size):
+    """VCR token stream: strings are BPE'd; object references ([idx, ...])
+    map to special ids vocab_size + min(idx, 80)."""
+    ids = []
+    for tok in mixed:
+        if isinstance(tok, list):
+            for idx in tok:
+                ids.append(vocab_size + min(int(idx), VCR_NUM_SPECIAL - 1))
+        else:
+            ids.extend(tokenize(str(tok)))
+    del objects
+    return ids
+
+
+def process_vcr(jsonl, db, tokenize, vocab_size):
+    """VCR jsonl -> txt_db with per-choice token lists and the id2len_qa /
+    id2len_qar bucketing files VcrTxtTokDb expects (data/vcr.py:25-33).
+    Lengths record the longest candidate variant."""
+    id2len_qa, id2len_qar, txt2img = {}, {}, {}
+    for line in jsonl:
+        line = line.strip()
+        if not line:
+            continue
+        ex = json.loads(line)
+        id_ = str(ex["annot_id"])
+        objects = ex.get("objects", [])
+        q = _tokenize_vcr(ex["question"], objects, tokenize, vocab_size)
+        a_s = [_tokenize_vcr(a, objects, tokenize, vocab_size)
+               for a in ex["answer_choices"]]
+        r_s = [_tokenize_vcr(r, objects, tokenize, vocab_size)
+               for r in ex.get("rationale_choices", [])]
+        img = os.path.splitext(os.path.basename(ex["img_fn"]))[0]
+        img_fname = (f"vcr_gt_{img}.npz", f"vcr_{img}.npz")
+        db[id_] = dict(
+            input_ids=q, input_ids_as=a_s, input_ids_rs=r_s,
+            qa_target=int(ex.get("answer_label", -1)),
+            qar_target=int(ex.get("rationale_label", -1)),
+            img_fname=img_fname)
+        max_a = max((len(a) for a in a_s), default=0)
+        max_r = max((len(r) for r in r_s), default=0)
+        id2len_qa[id_] = len(q) + max_a
+        id2len_qar[id_] = len(q) + max_a + max_r
+        txt2img[id_] = img_fname
+    return id2len_qa, id2len_qar, txt2img
+
+
 def process_referring_expressions(refs, instances, iid_to_ann_ids, db,
                                   tokenize, split):
     image_set = {r["image_id"] for r in refs if r["split"] == split}
@@ -127,18 +252,60 @@ def main(opts):
         db = _Buf()
     else:
         db = TxtDb(opts.output, readonly=False)
+    def dump_maps(txt2img):
+        with open(os.path.join(opts.output, "txt2img.json"), "w") as f:
+            json.dump(txt2img, f)
+        img2txts = {}
+        for t, img in txt2img.items():
+            for im in (img if isinstance(img, (list, tuple)) else [img]):
+                img2txts.setdefault(im, []).append(t)
+        with open(os.path.join(opts.output, "img2txts.json"), "w") as f:
+            json.dump(img2txts, f)
+
     if opts.task == "nlvr":
         with open(opts.annotation) as ann:
             id2len, txt2img = process_nlvr2(ann, db, tokenize,
                                             missing=None)
-        with open(os.path.join(opts.output, "txt2img.json"), "w") as f:
-            json.dump(txt2img, f)
-        img2txts = {}
-        for t, pair in txt2img.items():
-            for im in pair:
-                img2txts.setdefault(im, []).append(t)
-        with open(os.path.join(opts.output, "img2txts.json"), "w") as f:
-            json.dump(img2txts, f)
+        dump_maps(txt2img)
+    elif opts.task == "vqa":
+        with open(opts.annotation) as f:
+            qs = json.load(f)
+        questions = qs["questions"] if isinstance(qs, dict) else qs
+        annotations = None
+        if opts.vqa_annotations:
+            with open(opts.vqa_annotations) as f:
+                anns = json.load(f)
+            anns = anns["annotations"] if isinstance(anns, dict) else anns
+            annotations = {int(a["question_id"]): a for a in anns}
+        with open(opts.ans2label) as f:
+            ans2label = json.load(f)
+        id2len, txt2img = process_vqa(
+            questions, annotations, ans2label, db, tokenize,
+            img_format=opts.img_format or "coco_{:012}.npz")
+        dump_maps(txt2img)
+    elif opts.task == "ve":
+        with open(opts.annotation) as ann:
+            id2len, txt2img = process_ve(
+                ann, db, tokenize,
+                img_format=opts.img_format or "flickr30k_{}.npz")
+        dump_maps(txt2img)
+    elif opts.task == "itm":
+        with open(opts.annotation) as f:
+            captions = json.load(f)
+        id2len, txt2img = process_captions(
+            captions, db, tokenize,
+            img_format=opts.img_format or "coco_{:012}.npz")
+        dump_maps(txt2img)
+    elif opts.task == "vcr":
+        with open(opts.annotation) as ann:
+            id2len_qa, id2len_qar, txt2img = process_vcr(
+                ann, db, tokenize, vocab_size=meta["v_range"][1])
+        dump_maps(txt2img)
+        for name, obj in (("id2len_qa", id2len_qa),
+                          ("id2len_qar", id2len_qar)):
+            with open(os.path.join(opts.output, f"{name}.json"), "w") as f:
+                json.dump(obj, f)
+        id2len = id2len_qar  # generic id2len.json mirrors the longest task
     elif opts.task == "re":
         with open(opts.annotation) as f:
             refs = json.load(f)
@@ -172,10 +339,17 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--annotation", required=True)
     parser.add_argument("--output", required=True)
-    parser.add_argument("--task", default="nlvr", choices=["nlvr", "re"])
+    parser.add_argument("--task", default="nlvr",
+                        choices=["nlvr", "re", "vqa", "ve", "itm", "vcr"])
     parser.add_argument("--split", default="train")
     parser.add_argument("--instances", help="RE: instances.json")
     parser.add_argument("--iid_to_ann_ids", help="RE: iid->ann_ids json")
+    parser.add_argument("--vqa_annotations",
+                        help="VQA: annotations json (omit for test splits)")
+    parser.add_argument("--ans2label", help="VQA: answer->label json")
+    parser.add_argument("--img_format", default=None,
+                        help="img_fname format string, e.g. "
+                             "'coco_train2014_{:012}.npz'")
     parser.add_argument("--toker", default="bert-base-cased")
     parser.add_argument("--store", default="lmdb", choices=["lmdb", "dir"],
                         help="record store format (lmdb = reference format)")

@@ -241,3 +241,42 @@ def test_vcr_finetune_e2e(tmp_path):
     opts = parse_with_config(train_vcr.get_parser(), argv)
     state = train_vcr.main(opts)
     assert int(state.step) == 2
+
+
+def test_fast_score_matrix_matches_batched(itm_env):
+    """Device-resident tiled scoring == per-text batched scoring (the fast
+    path is a pure re-batching: every (text, image) pair sees identical
+    padded inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uniter_tpu.config import UniterConfig
+    from uniter_tpu.data.img_db import DetectFeatDb
+    from uniter_tpu.data.itm import ItmEvalDataset
+    from uniter_tpu.data.txt_db import TxtTokDb
+    from uniter_tpu.models.itm import UniterForImageTextRetrieval
+    from uniter_tpu.utils.itm_eval import inference_score_matrix
+    from uniter_tpu.utils.itm_fast import fast_score_matrix
+
+    cfg = UniterConfig.from_json_file(itm_env["cfg"], dtype="float32")
+    model = UniterForImageTextRetrieval(cfg, img_dim=2048)
+    txt_db = TxtTokDb(itm_env["txt"], max_txt_len=-1)
+    img_db = DetectFeatDb(itm_env["img"], conf_th=0.2, max_bb=8, min_bb=3,
+                          num_bb=8)
+    ds = ItmEvalDataset(txt_db, img_db, mini_batch_size=5)
+    t_bucket, r_bucket = ds.bucket_hint()
+
+    b0 = ds.get_batches(0, t_bucket, r_bucket)[0]
+    jb0 = {k: jnp.asarray(v) for k, v in b0.items()
+           if isinstance(v, np.ndarray)}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb0, False)[
+        "params"]
+
+    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    ref_mat, ref_ids = inference_score_matrix(
+        predict, ds, params, t_bucket, r_bucket)
+    # tile sizes that do NOT divide n_txt=16 / n_img=8 exercise padding
+    mat, ids = fast_score_matrix(model, params, ds, t_bucket, r_bucket,
+                                 txt_tile=5, img_tile=3, dtype="float32")
+    assert ids == ref_ids
+    np.testing.assert_allclose(mat, ref_mat, rtol=1e-5, atol=1e-5)

@@ -49,6 +49,9 @@ class UniterConfig:
     # match apex FusedLayerNorm usage (reference model/model.py:229).
     layer_norm_impl: str = "xla"
     layer_norm_eps: float = 1e-12
+    # Fuse the Q/K/V projections into one [H, 3H] GEMM at apply time (param
+    # layout stays query/key/value, so checkpoints are unaffected).
+    fused_qkv: bool = False
     # Rematerialize each encoder layer in the backward pass.
     remat: bool = False
     # Unroll factor for the scanned encoder (1 = pure scan; num_hidden_layers

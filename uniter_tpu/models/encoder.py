@@ -210,10 +210,26 @@ class BertAttention(nn.Module):
         b, s, _ = hidden.shape
         h, d = cfg.num_attention_heads, cfg.head_dim
 
-        def heads(name):
-            return Dense(cfg, cfg.hidden_size, name=name)(hidden).reshape(b, s, h, d)
+        if cfg.fused_qkv:
+            # One [H, 3H] GEMM instead of three [H, H] GEMMs — better MXU
+            # utilization; the param layout stays query/key/value (checkpoint
+            # compatible), concatenated at apply time (a few MB, ~us).
+            mods = [Dense(cfg, cfg.hidden_size, name=n)
+                    for n in ("query", "key", "value")]
+            w = jnp.concatenate([m.kernel for m in mods], axis=-1)
+            bvec = jnp.concatenate([m.bias for m in mods], axis=-1)
+            dt = hidden.dtype
+            qkv = jnp.dot(hidden, w.astype(dt)) + bvec.astype(dt)
+            q, k, v = [
+                qkv[..., i * cfg.hidden_size:(i + 1) * cfg.hidden_size]
+                .reshape(b, s, h, d) for i in range(3)
+            ]
+        else:
+            def heads(name):
+                return Dense(cfg, cfg.hidden_size, name=name)(
+                    hidden).reshape(b, s, h, d)
 
-        q, k, v = heads("query"), heads("key"), heads("value")
+            q, k, v = heads("query"), heads("key"), heads("value")
         rng = None
         if not self.deterministic and cfg.attention_probs_dropout_prob > 0.0:
             rng = self.make_rng("dropout")

@@ -63,12 +63,20 @@ def build_optimizer(
     lr_mul: float = 1.0,
     lr_mul_paths: Sequence[str] = (),
     optim: str = "adamw",
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
-    """Mirror of reference build_optimizer + driver-side clip/lr logic."""
+    """Mirror of reference build_optimizer + driver-side clip/lr logic.
+
+    ``mu_dtype``: storage dtype for the first moment (e.g. "bfloat16" to
+    halve its HBM traffic; the optimizer step is HBM-bound on TPU). Second
+    moments stay fp32 (they hold squared grads; bf16's 8 mantissa bits are
+    not enough there).
+    """
     if optim == "adamw":
         core = optax.adamw(
             learning_rate, b1=betas[0], b2=betas[1], eps=eps,
             weight_decay=weight_decay, mask=decay_mask(params),
+            mu_dtype=mu_dtype,
         )
     elif optim == "adam":
         core = optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)

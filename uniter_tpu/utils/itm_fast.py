@@ -1,0 +1,118 @@
+"""Device-resident tiled retrieval scoring — the TPU-native redesign of the
+reference's ItmEvalDataset + inference loop (reference data/itm.py:454-468,
+utils/itm_eval.py:93-114).
+
+The reference rebuilds a host-side batch for every (text, image-window)
+pair: for |txt| x |img| scoring that is O(n_txt * n_img) feature fetches and
+collates, and the GPU waits on the host. Here the token and feature arrays
+are placed on device ONCE ([n_img, R, D] region features, [n_txt, T]
+tokens), and one jitted tile function scores a (txt_tile x img_tile) block
+of pairs per call by broadcasting the two tiles against each other — the
+host does no per-pair work at all, and every forward is a full
+(txt_tile * img_tile)-pair batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_eval_arrays(eval_ds, t_bucket: int, r_bucket: int):
+    """Materialize the dataset as dense arrays.
+
+    Returns (txt_ids [n_txt, T] int32, txt_len [n_txt], img_feat
+    [n_img, R, D] fp32, img_pos [n_img, R, 7], img_nbb [n_img]) with rows
+    ordered as eval_ds.ids / eval_ds.all_img_ids.
+    """
+    n_txt = len(eval_ds.ids)
+    txt_ids = np.zeros((n_txt, t_bucket), np.int32)
+    txt_len = np.zeros((n_txt,), np.int32)
+    for i in range(n_txt):
+        ids = np.asarray(
+            eval_ds.txt_db.combine_inputs(eval_ds.example(i)["input_ids"]),
+            np.int32)
+        tl = min(len(ids), t_bucket)
+        txt_ids[i, :tl] = ids[:tl]
+        txt_len[i] = tl
+    imgs = eval_ds.all_img_ids
+    n_img = len(imgs)
+    feat0, _, _ = eval_ds.img_db.get_img_feat(imgs[0])
+    d = feat0.shape[1]
+    img_feat = np.zeros((n_img, r_bucket, d), np.float32)
+    img_pos = np.zeros((n_img, r_bucket, 7), np.float32)
+    img_nbb = np.zeros((n_img,), np.int32)
+    for j, name in enumerate(imgs):
+        feat, pos7, _ = eval_ds.img_db.get_img_feat(name)
+        nb = min(feat.shape[0], r_bucket)
+        img_feat[j, :nb] = feat[:nb]
+        img_pos[j, :nb] = pos7[:nb]
+        img_nbb[j] = nb
+    return txt_ids, txt_len, img_feat, img_pos, img_nbb
+
+
+def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
+                      txt_tile: int = 16, img_tile: int = 32,
+                      shard_index: int = 0, shard_count: int = 1,
+                      dtype="bfloat16"):
+    """[n_txt_shard, n_img] rank-score matrix + the shard's txt ids.
+
+    Texts are sharded across processes by stride (reference
+    utils/itm_eval.py:99: rows sharded by rank). ``dtype`` is the compute
+    dtype for the device-resident features (bf16 halves HBM/transfer).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    txt_ids, txt_len, img_feat, img_pos, img_nbb = build_eval_arrays(
+        eval_ds, t_bucket, r_bucket)
+    my_rows = np.arange(shard_index, len(txt_ids), shard_count)
+    n_txt, n_img = len(my_rows), img_feat.shape[0]
+    if n_txt == 0:
+        return np.zeros((0, n_img), np.float32), []
+
+    # pad to tile multiples (extra rows repeat row 0; trimmed at the end)
+    def pad_rows(a, mult):
+        pad = (-a.shape[0]) % mult
+        return np.concatenate([a, np.repeat(a[:1], pad, 0)]) if pad else a
+
+    t_sel = pad_rows(txt_ids[my_rows], txt_tile)
+    tlen_sel = pad_rows(txt_len[my_rows], txt_tile)
+    img_feat_p = pad_rows(img_feat, img_tile)
+    img_pos_p = pad_rows(img_pos, img_tile)
+    nbb_p = pad_rows(img_nbb, img_tile)
+
+    cdt = jnp.dtype(dtype)
+    d_txt = jax.device_put(jnp.asarray(t_sel))
+    d_tmask = jax.device_put(
+        (np.arange(t_bucket)[None] < tlen_sel[:, None]).astype(np.int32))
+    d_feat = jax.device_put(jnp.asarray(img_feat_p, cdt))
+    d_pos = jax.device_put(jnp.asarray(img_pos_p, cdt))
+    d_imask = jax.device_put(
+        (np.arange(r_bucket)[None] < nbb_p[:, None]).astype(np.int32))
+
+    ct, ci = txt_tile, img_tile
+
+    def tile_fn(p, t_ids, t_mask, feat, pos, i_mask):
+        batch = dict(
+            input_ids=jnp.repeat(t_ids, ci, axis=0),
+            position_ids=jnp.broadcast_to(
+                jnp.arange(t_bucket, dtype=jnp.int32), (ct * ci, t_bucket)),
+            img_feat=jnp.tile(feat, (ct, 1, 1)),
+            img_pos_feat=jnp.tile(pos, (ct, 1, 1)),
+            attn_mask=jnp.concatenate(
+                [jnp.repeat(t_mask, ci, axis=0),
+                 jnp.tile(i_mask, (ct, 1))], axis=1),
+        )
+        scores = model.apply({"params": p}, batch, False)  # [ct*ci, 1]
+        return scores[:, 0].reshape(ct, ci)
+
+    tile_jit = jax.jit(tile_fn)
+    out = np.zeros((t_sel.shape[0], img_feat_p.shape[0]), np.float32)
+    for ti in range(0, t_sel.shape[0], ct):
+        for ij in range(0, img_feat_p.shape[0], ci):
+            out[ti:ti + ct, ij:ij + ci] = np.asarray(tile_jit(
+                params, d_txt[ti:ti + ct], d_tmask[ti:ti + ct],
+                d_feat[ij:ij + ci], d_pos[ij:ij + ci],
+                d_imask[ij:ij + ci]))
+    mat = out[:n_txt, :n_img]
+    return mat, [eval_ds.ids[i] for i in my_rows]
