@@ -61,12 +61,15 @@ def build_model_and_params(opts, rng):
 
 
 DATASET_REGISTRY = {
-    "mlm": lambda txt, img, opts: MlmDataset(txt, img),
-    "mrfr": lambda txt, img, opts: MrfrDataset(opts.mrm_prob, txt, img),
-    "mrc": lambda txt, img, opts: MrcDataset(opts.mrm_prob, txt, img),
-    "mrc-kl": lambda txt, img, opts: MrcDataset(opts.mrm_prob, txt, img),
-    "itm": lambda txt, img, opts: ItmDataset(
-        txt, img, neg_sample_p=opts.itm_neg_prob),
+    "mlm": lambda txt, img, opts, **kw: MlmDataset(txt, img, **kw),
+    "mrfr": lambda txt, img, opts, **kw: MrfrDataset(
+        opts.mrm_prob, txt, img, **kw),
+    "mrc": lambda txt, img, opts, **kw: MrcDataset(
+        opts.mrm_prob, txt, img, **kw),
+    "mrc-kl": lambda txt, img, opts, **kw: MrcDataset(
+        opts.mrm_prob, txt, img, **kw),
+    "itm": lambda txt, img, opts, **kw: ItmDataset(
+        txt, img, neg_sample_p=opts.itm_neg_prob, **kw),
 }
 
 
@@ -87,7 +90,10 @@ def create_dataloaders(datasets_cfg, opts, mesh, train=True) -> Dict[str, tuple]
             parts = []
             for txt_path, img_dir in zip(txt_dbs, img_dirs):
                 txt_db = TxtTokDb(txt_path, max_txt_len=opts.max_txt_len)
-                ds = build(txt_db, img_group[img_dir], opts)
+                # shard ids per process (reference data/data.py:218-225);
+                # validation counters are all-gathered in validate()
+                ds = build(txt_db, img_group[img_dir], opts,
+                           **driver.shard_kw())
                 parts.append(ds)
             ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
             spec = driver.bucket_spec(
@@ -156,6 +162,13 @@ def validate(model, params, val_loaders, pred_cache=None):
                 valid = tgt != -1
                 n_correct += int((scores.argmax(-1) == tgt)[valid].sum())
                 n_word += int(valid.sum())
+        # gather counters across hosts (reference pretrain.py:390-544
+        # all_gather_list on every validation stat)
+        from uniter_tpu.parallel.collectives import all_gather_list
+
+        n_correct, n_word, loss_sum = (
+            sum(v) for v in zip(*all_gather_list(
+                (n_correct, n_word, loss_sum))))
         if task == "mrfr":
             logs[f"{name}_loss"] = loss_sum / max(n_word, 1)
         else:

@@ -83,7 +83,7 @@ def main(opts):
             txt_db = VcrTxtTokDb(dset["db"], max_txt_len=opts.max_txt_len,
                                  task=dset.get("vcr_task", "qa,qar"))
             ds = DATASETS[task](opts, txt_db, img_db_gt=img_db_gt,
-                                img_db=img_db)
+                                img_db=img_db, **driver.shard_kw())
             spec = driver.bucket_spec(opts, mesh, ds)
             loaders[f"{task}_{dset['name']}"] = (
                 BucketLoader(ds, spec, collate=type(ds).collate,

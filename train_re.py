@@ -68,7 +68,7 @@ def main(opts):
 
     txt_db = ReTxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
     img_db = driver.open_img_db(opts.train_img_db, opts)
-    train_ds = ReDataset(txt_db, img_db)
+    train_ds = ReDataset(txt_db, img_db, **driver.shard_kw())
     spec = driver.bucket_spec(opts, mesh, train_ds)
     train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True)
 

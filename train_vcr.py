@@ -51,7 +51,7 @@ def build_train_datasets(opts):
         txt_db = VcrTxtTokDb(opts.train_txt_db,
                              max_txt_len=opts.max_txt_len, task=task)
         datasets.append(VcrDataset(txt_db, img_db_gt=img_db_gt,
-                                   img_db=img_db))
+                                   img_db=img_db, **driver.shard_kw()))
     ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
     if len(datasets) > 1:
         ds.rows_per_example = 4

@@ -61,13 +61,22 @@ def det_fname(image_id) -> str:
 
 
 class ReDataset(JointDataset):
-    def __init__(self, txt_db: ReTxtTokDb, img_db, **kw):
+    def __init__(self, txt_db: ReTxtTokDb, img_db, shard_index=0,
+                 shard_count=1, **kw):
         self.txt_db = txt_db
         self.img_db = img_db
+        # Every process shuffles with the same seeded rng, so the strided
+        # split below hands each one a distinct subset per epoch (the
+        # reference's DistributedSampler role, data/sampler.py:64-115).
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self.refresh_ids()
 
     def refresh_ids(self):
-        self.ids = self.txt_db.get_sent_ids()
+        from uniter_tpu.data.datasets import shard_ids
+
+        self.ids = shard_ids(self.txt_db.get_sent_ids(),
+                             self.shard_index, self.shard_count)
         self.txt_lens = [self.txt_db.id2len[i] for i in self.ids]
         self.lens = list(self.txt_lens)
 
