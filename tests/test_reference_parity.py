@@ -499,3 +499,40 @@ def test_re_parity(refpkg, mlp):
         ref_l = rmodel({**rb, "targets": torch.from_numpy(tgt)[:, None]},
                        compute_loss=True).numpy()
     np.testing.assert_allclose(ours_l, ref_l, rtol=RTOL, atol=ATOL)
+
+
+def test_export_roundtrip(refpkg):
+    """export_state_dict is the exact inverse of the import maps: loading
+    the exported dict back reproduces every parameter bit-for-bit, and the
+    exported keys match the reference model's own state_dict keys."""
+    torch.manual_seed(8)
+    rmodel = refpkg.vqa.UniterForVisualQuestionAnswering(
+        ref_config(refpkg), IMG, num_answer=17).eval()
+
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+
+    model = UniterForVisualQuestionAnswering(
+        our_config(), img_dim=IMG, num_answer=17)
+    toks, feats, pos7 = make_inputs(seed=8)
+    ob = our_batch(toks, feats, pos7)
+    init = model.init({"params": jax.random.PRNGKey(0)}, ob, False)["params"]
+    params = load_ref_params(init, rmodel)
+
+    sd = ckpt.export_state_dict(params)
+    ref_keys = {k for k in rmodel.state_dict().keys()
+                if not k.endswith("position_ids")}
+    assert set(sd) == ref_keys, set(sd) ^ ref_keys
+    for k, v in rmodel.state_dict().items():
+        if k in sd:
+            np.testing.assert_array_equal(sd[k], v.numpy(), err_msg=k)
+
+    # roundtrip: import the export -> identical params
+    norm = ckpt.normalize_state_dict(sd)
+    flat, missing, _ = ckpt.uniter_params_from_state_dict(norm, LAYERS)
+    assert not missing
+    params2, _ = ckpt.merge_into_params(dict(init), flat, prefix="uniter")
+    heads = ckpt.task_head_params_from_state_dict(norm)
+    params2, _ = ckpt.merge_into_params(params2, heads)
+    for p, a in ckpt.flatten(params).items():
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(ckpt.flatten(params2)[p]), err_msg=p)

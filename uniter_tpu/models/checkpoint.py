@@ -301,6 +301,50 @@ def task_head_params_from_state_dict(state_dict):
     return flat
 
 
+def export_state_dict(params: Dict[str, Any], *, trunk: str = "uniter",
+                      prefix: str = "uniter.") -> Dict[str, np.ndarray]:
+    """Inverse of the import maps: flax params -> reference-format torch-style
+    state dict (numpy values), so models trained here can be consumed by
+    reference tooling or re-imported. Covers the trunk (incl. un-stacking the
+    scanned [L, ...] layer params), the pretraining heads, and the fine-tune
+    task heads."""
+    flat = flatten(params)
+    out: Dict[str, np.ndarray] = {}
+
+    def unconvert(arr, kind):
+        arr = np.asarray(arr)
+        return np.ascontiguousarray(arr.T) if kind == "linear_w" else arr
+
+    troot = f"{trunk}/" if trunk and trunk in params else ""
+    for path, (tkey, kind) in _STATIC_MAP.items():
+        full = troot + path
+        if full in flat:
+            out[prefix + tkey] = unconvert(flat[full], kind)
+    for subpath, (tsub, kind) in _LAYER_MAP.items():
+        full = f"{troot}encoder/layer/bert_layer/{subpath}"
+        if full in flat:
+            stacked = np.asarray(flat[full])
+            for i in range(stacked.shape[0]):
+                out[f"{prefix}encoder.layer.{i}.{tsub}"] = unconvert(
+                    stacked[i], kind)
+    for path, (tkey, kind) in _PRETRAIN_HEAD_MAP.items():
+        if path in flat:
+            out[tkey] = unconvert(flat[path], kind)
+    two_layer_re = "re_hidden/kernel" in flat
+    for path, tkey, kind in _TASK_HEAD_MAP:
+        if path not in flat or tkey in out:
+            continue
+        # RE lists two torch layouts per flax path; emit the Sequential form
+        # only when the 2-layer head exists, else the plain Linear
+        if tkey.startswith("re_output.3.") and not two_layer_re:
+            continue
+        if tkey.startswith("re_output.") and "." not in tkey[len("re_output."):] \
+                and two_layer_re:
+            continue
+        out[tkey] = unconvert(flat[path], kind)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Post-load surgeries (reference §5 checkpoint bullet)
 # ---------------------------------------------------------------------------
