@@ -244,13 +244,15 @@ def main(opts):
 
     from uniter_tpu.training.loop import MixedTaskLoop
 
+    cdt = cfg.compute_dtype
     loop = MixedTaskLoop(
         meta=meta, get_step=get_step, state=state, mesh=mesh,
         num_train_steps=opts.num_train_steps, valid_steps=opts.valid_steps,
         log_steps=getattr(opts, "log_steps", 100),
         validate_fn=validate_fn, saver=saver, seed=opts.seed,
         accum=accum > 1, loss_units_fn=loss_units,
-        profile_dir=getattr(opts, "profile_dir", None))
+        profile_dir=getattr(opts, "profile_dir", None),
+        transfer_dtype=None if cdt == jnp.float32 else cdt)
     return loop.run()
 
 

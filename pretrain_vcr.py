@@ -77,18 +77,32 @@ def main(opts):
 
     img_db = driver.open_img_db(opts.train_img_db, opts)
     img_db_gt = driver.open_img_db(opts.train_img_db_gt, opts)
-    loaders = {}
-    for dset in opts.train_datasets:
-        for task, ratio in zip(dset["tasks"], dset["mix_ratio"]):
-            txt_db = VcrTxtTokDb(dset["db"], max_txt_len=opts.max_txt_len,
-                                 task=dset.get("vcr_task", "qa,qar"))
-            ds = DATASETS[task](opts, txt_db, img_db_gt=img_db_gt,
-                                img_db=img_db, **driver.shard_kw())
-            spec = driver.bucket_spec(opts, mesh, ds)
-            loaders[f"{task}_{dset['name']}"] = (
-                BucketLoader(ds, spec, collate=type(ds).collate,
-                             seed=opts.seed, loop=True,
-                             num_workers=opts.n_workers), ratio)
+
+    def make_loaders(datasets_cfg, train=True):
+        out = {}
+        for dset in datasets_cfg:
+            for task, ratio in zip(dset["tasks"], dset.get(
+                    "mix_ratio", [1] * len(dset["tasks"]))):
+                txt_db = VcrTxtTokDb(dset["db"],
+                                     max_txt_len=opts.max_txt_len,
+                                     task=dset.get("vcr_task", "qa,qar"))
+                ds = DATASETS[task](opts, txt_db, img_db_gt=img_db_gt,
+                                    img_db=img_db, **driver.shard_kw())
+                spec = driver.bucket_spec(
+                    opts, mesh, ds,
+                    budget=None if train else opts.val_batch_size)
+                out[f"{task}_{dset['name']}"] = (
+                    BucketLoader(ds, spec, collate=type(ds).collate,
+                                 seed=opts.seed, loop=train, shuffle=train,
+                                 drop_last=train,
+                                 num_workers=opts.n_workers), ratio)
+        return out
+
+    loaders = make_loaders(opts.train_datasets)
+    val_loaders = {}
+    if opts.val_datasets:
+        val_loaders = {name: loader for name, (loader, _r) in
+                       make_loaders(opts.val_datasets, train=False).items()}
     accum = opts.gradient_accumulation_steps
     if accum > 1:
         from uniter_tpu.data.loader import AccumLoader
@@ -131,14 +145,29 @@ def main(opts):
 
     from uniter_tpu.training.loop import MixedTaskLoop
 
+    pred_cache = {}
+
+    def validate_fn(state, step):
+        """Per-task validation (reference pretrain_vcr.py:346-443: MLM acc,
+        MRFR per-feature loss, MRC acc) via the shared pretrain validator."""
+        if not val_loaders:
+            return {}
+        import pretrain as pretrain_mod
+
+        return pretrain_mod.validate(model, state.params, val_loaders,
+                                     pred_cache)
+
+    cdt = cfg.compute_dtype
     loop = MixedTaskLoop(
         meta=meta, get_step=get_step, state=state, mesh=mesh,
         num_train_steps=opts.num_train_steps, valid_steps=opts.valid_steps,
         log_steps=getattr(opts, "log_steps", 100),
+        validate_fn=validate_fn,
         saver=saver, seed=opts.seed,
         accum=opts.gradient_accumulation_steps > 1,
         loss_units_fn=loss_units,
-        profile_dir=getattr(opts, "profile_dir", None))
+        profile_dir=getattr(opts, "profile_dir", None),
+        transfer_dtype=None if cdt == jnp.float32 else cdt)
     return loop.run()
 
 
@@ -149,6 +178,7 @@ def get_parser():
     parser.add_argument("--train_img_db", type=str)
     parser.add_argument("--train_img_db_gt", type=str)
     parser.add_argument("--train_datasets", type=str, nargs="*")
+    parser.add_argument("--val_datasets", type=str, nargs="*")
     parser.add_argument("--mrm_prob", type=float, default=0.15)
     parser.set_defaults(learning_rate=5e-5, num_train_steps=60000,
                         warmup_steps=6000, train_batch_size=10240,

@@ -210,3 +210,62 @@ def test_bucket_spec_covers_long_text_and_dual_imgdb():
     spec = bucket_spec(opts, FakeMesh(), FakeDs())
     assert spec.txt_bucket(226) >= 226
     assert spec.img_bucket(18) >= 18
+
+
+def test_transfer_dtype_bf16_is_exact():
+    """Casting img features to bf16 on the host before device_put produces
+    bit-identical training to fp32 transfer (the model casts them to its
+    compute dtype on device anyway, loop.TRANSFER_CAST_KEYS)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+    from uniter_tpu.training.loop import TrainLoop, place_state
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.step import TrainState
+
+    cfg = tiny_config(dtype="bfloat16")
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=32, num_answer=5)
+    rng = np.random.RandomState(0)
+    host = dict(
+        input_ids=rng.randint(1, 500, (8, 8)).astype(np.int32),
+        position_ids=np.broadcast_to(
+            np.arange(8, dtype=np.int32), (8, 8)).copy(),
+        img_feat=rng.randn(8, 8, 32).astype(np.float32),
+        img_pos_feat=rng.rand(8, 8, 7).astype(np.float32),
+        attn_mask=np.ones((8, 16), np.int32),
+        targets=rng.rand(8, 5).astype(np.float32),
+    )
+    jb = {k: jnp.asarray(v) for k, v in host.items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb, False)[
+        "params"]
+
+    def loss_fn(p, b, r):
+        per = model.apply({"params": p}, b, True, deterministic=True)
+        return jnp.mean(per), {}
+
+    def run(transfer_dtype):
+        mesh = make_mesh(MeshConfig(data=8))
+        # fresh buffers per run — the loop's step donates its state
+        p0 = jax.tree.map(jnp.array, params)
+        tx = build_optimizer(p0, 1e-3, grad_norm=2.0, weight_decay=0.01)
+        state = place_state(TrainState.create(p0, tx), mesh)
+
+        def loader():
+            while True:
+                yield host
+
+        loop = TrainLoop(loss_fn=loss_fn, state=state, train_loader=loader(),
+                         mesh=mesh, num_train_steps=2, valid_steps=0,
+                         log_steps=10, seed=3, loss_scale="sum",
+                         transfer_dtype=transfer_dtype)
+        return jax.tree.map(np.asarray, loop.run().params)
+
+    a = run(None)
+    b = run(jnp.bfloat16)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda x, y: float(np.max(np.abs(x - y))), a, b))
+    assert max(diffs) == 0.0, max(diffs)

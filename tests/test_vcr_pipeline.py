@@ -156,5 +156,11 @@ def test_pretrain_vcr_e2e(vcr_env):
         {"name": "vcr", "db": vcr_env["txt"], "vcr_task": "qar",
          "tasks": ["mlm", "mrfr", "mrc-kl"], "mix_ratio": [2, 1, 1]},
     ]
+    opts.val_datasets = [
+        {"name": "vcr", "db": vcr_env["txt"], "vcr_task": "qar",
+         "tasks": ["mlm", "mrc-kl"], "mix_ratio": [1, 1]},
+    ]
     state = pretrain_vcr.main(opts)
     assert int(state.step) == 3
+    scalars = open(vcr_env["root"] + "/ptvcr_out/log/scalars.jsonl").read()
+    assert "valid/mlm_vcr_acc" in scalars, scalars[-500:]

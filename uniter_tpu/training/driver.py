@@ -215,6 +215,9 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
     if restored is not None:
         state = restored
         LOGGER.info("resumed from step %d", int(state.step))
+    # bf16 on the wire: the model casts img features to its compute dtype
+    # anyway, so transferring them pre-cast halves host->device bytes
+    cdt = model.config.compute_dtype
     loop = TrainLoop(
         loss_fn=loss_fn, state=state, train_loader=train_loader, mesh=mesh,
         num_train_steps=opts.num_train_steps,
@@ -222,7 +225,8 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         valid_steps=opts.valid_steps,
         log_steps=getattr(opts, "log_steps", 100),
         validate_fn=validate_fn, saver=saver,
-        seed=opts.seed, profile_dir=getattr(opts, "profile_dir", None))
+        seed=opts.seed, profile_dir=getattr(opts, "profile_dir", None),
+        transfer_dtype=None if cdt == jnp.float32 else cdt)
     state = loop.run()
     LOGGER.info("training finished at step %d", int(state.step))
     return state

@@ -64,10 +64,19 @@ def default_prng_key(seed: int):
     return jax.random.key(seed, impl=impl)
 
 
-def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False):
+# Inputs the model immediately casts to its compute dtype (encoder.py
+# img_embeddings) — casting them on the host before device_put halves the
+# wire bytes with zero numerics change when the model runs bf16. img_feat is
+# by far the largest batch field (B x R x 2048 fp32 ~ 31MB at B=96).
+TRANSFER_CAST_KEYS = ("img_feat", "img_pos_feat")
+
+
+def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False,
+                     transfer_dtype=None):
     """Shard the batch over the mesh's data axis. Accumulation batches are
     [accum, B, ...]: the *second* axis is the batch axis (sharding axis 0
-    would split the scan axis across devices)."""
+    would split the scan axis across devices). ``transfer_dtype`` casts the
+    model-cast float inputs (TRANSFER_CAST_KEYS) before transfer."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     bsh = (NamedSharding(mesh, P(None, "data")) if accum
@@ -75,6 +84,9 @@ def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False):
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
+            if (transfer_dtype is not None and k in TRANSFER_CAST_KEYS
+                    and v.dtype == np.float32):
+                v = v.astype(transfer_dtype)
             out[k] = jax.device_put(v, bsh)
         else:
             out[k] = v  # host-side metadata (qids etc.) stays put
@@ -135,6 +147,7 @@ class TrainLoop:
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
         prefetch: int = 2,
+        transfer_dtype=None,
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -150,6 +163,7 @@ class TrainLoop:
         self.profile_dir = profile_dir
         self.profile_steps = _clamp_profile(profile_steps, num_train_steps)
         self.prefetch = prefetch
+        self.transfer_dtype = transfer_dtype
         if self.accum > 1:
             from uniter_tpu.data.loader import AccumLoader
 
@@ -180,7 +194,8 @@ class TrainLoop:
             def put(batch):
                 return (host_weight(batch),
                         device_put_batch(jnp_batch(batch), self.mesh,
-                                         accum=self.accum > 1))
+                                         accum=self.accum > 1,
+                                         transfer_dtype=self.transfer_dtype))
 
             it = DevicePrefetcher(iter(self.train_loader), put,
                                   depth=self.prefetch)
@@ -188,7 +203,8 @@ class TrainLoop:
             it = (
                 (host_weight(b),
                  device_put_batch(jnp_batch(b), self.mesh,
-                                  accum=self.accum > 1)
+                                  accum=self.accum > 1,
+                                  transfer_dtype=self.transfer_dtype)
                  if self.mesh is not None else jnp_batch(b))
                 for b in self.train_loader
             )
@@ -273,6 +289,7 @@ class MixedTaskLoop:
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
         prefetch: int = 2,
+        transfer_dtype=None,
     ):
         self.meta = meta
         self.get_step = get_step
@@ -289,6 +306,7 @@ class MixedTaskLoop:
         self.profile_dir = profile_dir
         self.profile_steps = _clamp_profile(profile_steps, num_train_steps)
         self.prefetch = prefetch
+        self.transfer_dtype = transfer_dtype
 
     def _counters(self, name, batch):
         n_ex = int(batch["ex_weight"].sum()) if "ex_weight" in batch else int(
@@ -315,7 +333,8 @@ class MixedTaskLoop:
             name, batch = item
             return (name, self._counters(name, batch),
                     device_put_batch(jnp_batch(batch), self.mesh,
-                                     accum=self.accum))
+                                     accum=self.accum,
+                                     transfer_dtype=self.transfer_dtype))
 
         if self.prefetch > 0:
             from uniter_tpu.data.loader import DevicePrefetcher
