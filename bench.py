@@ -75,27 +75,35 @@ def main():
                 rngs={"dropout": r})
             return jnp.mean(per_elem) * 3129, {}
 
-        step = make_train_step(loss_fn, loss_scale="mean")
-        return state, batch, step
+        # measure the recommended throughput configuration: 8 optimizer
+        # steps per jit call (--steps_per_call 8; amortizes per-step
+        # dispatch, +4% measured on v5e via the remote relay)
+        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "8"))
+        step = make_train_step(loss_fn, loss_scale="mean",
+                               steps_per_call=k)
+        if k > 1:
+            batch = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (k,) + x.shape), batch)
+        return state, batch, step, k
 
     def run(impl):
-        state, batch, step = build(impl)
-        # rbg (hardware RNG) keys: threefry mask generation costs ~18ms/step
+        state, batch, step, k = build(impl)
+        # rbg (hardware RNG) base key: the step folds in state.step itself
+        # (threefry mask generation costs ~18ms/step; host-side per-step
+        # split costs another ~2-4ms of dispatch)
         rng = jax.random.key(1, impl="rbg")
         # warmup/compile. NOTE: block_until_ready does not synchronize on the
         # remote-relay TPU backend — force a host readback to fence timing.
         for _ in range(3):
-            rng, sub = jax.random.split(rng)
-            state, metrics = step(state, batch, sub)
-        assert np.isfinite(float(np.asarray(metrics["loss"])))
-        n_iters = 20
+            state, metrics = step(state, batch, rng)
+        assert np.isfinite(float(np.asarray(metrics["loss"]).reshape(-1)[-1]))
+        n_iters = max(20 // k, 3)
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            rng, sub = jax.random.split(rng)
-            state, metrics = step(state, batch, sub)
-        _ = float(np.asarray(metrics["loss"]))  # fence
+            state, metrics = step(state, batch, rng)
+        _ = float(np.asarray(metrics["loss"]).reshape(-1)[-1])  # fence
         dt = time.perf_counter() - t0
-        return n_iters * B / dt
+        return n_iters * k * B / dt
 
     try:
         ex_per_sec = run(attention_impl)

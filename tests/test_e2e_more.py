@@ -280,3 +280,13 @@ def test_fast_score_matrix_matches_batched(itm_env):
                                  txt_tile=5, img_tile=3, dtype="float32")
     assert ids == ref_ids
     np.testing.assert_allclose(mat, ref_mat, rtol=1e-5, atol=1e-5)
+
+    # mesh-sharded tiles (text axis over 8 devices) give the same matrix
+    from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=8))
+    mat8, ids8 = fast_score_matrix(model, params, ds, t_bucket, r_bucket,
+                                   txt_tile=5, img_tile=3, dtype="float32",
+                                   mesh=mesh)
+    assert ids8 == ref_ids
+    np.testing.assert_allclose(mat8, ref_mat, rtol=1e-5, atol=1e-5)

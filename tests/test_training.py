@@ -269,3 +269,66 @@ def test_transfer_dtype_bf16_is_exact():
     diffs = jax.tree.leaves(jax.tree.map(
         lambda x, y: float(np.max(np.abs(x - y))), a, b))
     assert max(diffs) == 0.0, max(diffs)
+
+
+def test_steps_per_call_matches_single_step():
+    """k optimizer steps per jit call == k single-step calls, exactly: the
+    per-step dropout key is fold_in(base, state.step) in both, so the
+    trajectories are bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+    from uniter_tpu.training.loop import TrainLoop, place_state
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.step import TrainState
+
+    cfg = tiny_config()
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=32, num_answer=5)
+    rng = np.random.RandomState(1)
+    hosts = []
+    for _ in range(4):  # distinct batches, same shape
+        hosts.append(dict(
+            input_ids=rng.randint(1, 500, (8, 8)).astype(np.int32),
+            position_ids=np.broadcast_to(
+                np.arange(8, dtype=np.int32), (8, 8)).copy(),
+            img_feat=rng.randn(8, 8, 32).astype(np.float32),
+            img_pos_feat=rng.rand(8, 8, 7).astype(np.float32),
+            attn_mask=np.ones((8, 16), np.int32),
+            targets=rng.rand(8, 5).astype(np.float32),
+        ))
+    jb = {k: jnp.asarray(v) for k, v in hosts[0].items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb, False)[
+        "params"]
+
+    def loss_fn(p, b, r):
+        per = model.apply({"params": p}, b, True, deterministic=False,
+                          rngs={"dropout": r})
+        return jnp.mean(per), {}
+
+    def run(k):
+        mesh = make_mesh(MeshConfig(data=8))
+        p0 = jax.tree.map(jnp.array, params)
+        tx = build_optimizer(p0, 1e-3, grad_norm=2.0, weight_decay=0.01)
+        state = place_state(TrainState.create(p0, tx), mesh)
+
+        def loader():
+            while True:
+                yield from hosts
+
+        loop = TrainLoop(loss_fn=loss_fn, state=state, train_loader=loader(),
+                         mesh=mesh, num_train_steps=4, valid_steps=0,
+                         log_steps=4, seed=5, loss_scale="sum",
+                         steps_per_call=k)
+        st = loop.run()
+        assert int(st.step) == 4
+        return jax.tree.map(np.asarray, st.params)
+
+    a = run(1)
+    b = run(2)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda x, y: float(np.max(np.abs(x - y))), a, b))
+    assert max(diffs) == 0.0, max(diffs)

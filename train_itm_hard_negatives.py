@@ -131,8 +131,7 @@ def main(opts):
 
     while global_step < opts.num_train_steps:
         stacked = next(it)
-        rng, sub = jax.random.split(rng)
-        state, metrics = step(state, stacked, sub)
+        state, metrics = step(state, stacked, rng)  # step folds in state.step
         global_step += 1
         pending.append((global_step, metrics["loss"]))
         if global_step % 100 == 0:

@@ -44,6 +44,9 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--train_batch_size", type=int, default=4096)
     parser.add_argument("--val_batch_size", type=int, default=4096)
     parser.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="full optimizer steps per jit call (amortizes "
+                             "per-step dispatch; +4%% on v5e at 8)")
     parser.add_argument("--learning_rate", type=float, default=3e-5)
     parser.add_argument("--lr_mul", type=float, default=1.0)
     parser.add_argument("--valid_steps", type=int, default=1000)
@@ -226,7 +229,8 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         log_steps=getattr(opts, "log_steps", 100),
         validate_fn=validate_fn, saver=saver,
         seed=opts.seed, profile_dir=getattr(opts, "profile_dir", None),
-        transfer_dtype=None if cdt == jnp.float32 else cdt)
+        transfer_dtype=None if cdt == jnp.float32 else cdt,
+        steps_per_call=getattr(opts, "steps_per_call", 1))
     state = loop.run()
     LOGGER.info("training finished at step %d", int(state.step))
     return state

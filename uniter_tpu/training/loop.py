@@ -148,6 +148,7 @@ class TrainLoop:
         profile_steps: tuple = (10, 15),
         prefetch: int = 2,
         transfer_dtype=None,
+        steps_per_call: int = 1,
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -164,13 +165,17 @@ class TrainLoop:
         self.profile_steps = _clamp_profile(profile_steps, num_train_steps)
         self.prefetch = prefetch
         self.transfer_dtype = transfer_dtype
-        if self.accum > 1:
+        self.k = steps_per_call
+        if self.accum > 1 or self.k > 1:
             from uniter_tpu.data.loader import AccumLoader
 
-            self.train_loader = AccumLoader(train_loader, self.accum)
+            # stacks accum (or steps_per_call) same-shape batches into one
+            # [k, B, ...] array batch
+            self.train_loader = AccumLoader(train_loader,
+                                            max(self.accum, self.k))
         self.step_fn = make_train_step(
             loss_fn, mesh=mesh, loss_scale=loss_scale,
-            accum_steps=self.accum)
+            accum_steps=self.accum, steps_per_call=self.k)
 
     def run(self):
         state = self.state
@@ -193,9 +198,10 @@ class TrainLoop:
 
             def put(batch):
                 return (host_weight(batch),
-                        device_put_batch(jnp_batch(batch), self.mesh,
-                                         accum=self.accum > 1,
-                                         transfer_dtype=self.transfer_dtype))
+                        device_put_batch(
+                            jnp_batch(batch), self.mesh,
+                            accum=self.accum > 1 or self.k > 1,
+                            transfer_dtype=self.transfer_dtype))
 
             it = DevicePrefetcher(iter(self.train_loader), put,
                                   depth=self.prefetch)
@@ -203,36 +209,40 @@ class TrainLoop:
             it = (
                 (host_weight(b),
                  device_put_batch(jnp_batch(b), self.mesh,
-                                  accum=self.accum > 1,
+                                  accum=self.accum > 1 or self.k > 1,
                                   transfer_dtype=self.transfer_dtype)
                  if self.mesh is not None else jnp_batch(b))
                 for b in self.train_loader
             )
         global_step = start_step
-        pending = []  # (step, loss device scalar) — flushed at boundaries
+        pending = []  # (first step, loss scalar or [k]) — flushed at boundaries
 
         def flush():
-            for s, dev_loss in pending:
-                val = float(dev_loss)
-                guard.check(val, s)
-                meter(val)
+            for s0, dev_loss in pending:
+                for j, v in enumerate(np.asarray(dev_loss).reshape(-1)):
+                    guard.check(float(v), s0 + j)
+                    meter(float(v))
             pending.clear()
 
+        profiling = False
         while global_step < self.num_train_steps:
             n_ex, jb = next(it)
             n_examples += n_ex
-            self.rng, sub = jax.random.split(self.rng)
-            if (self.profile_dir is not None
-                    and global_step == self.profile_steps[0]):
+            if (self.profile_dir is not None and not profiling
+                    and global_step >= self.profile_steps[0]):
                 jax.profiler.start_trace(self.profile_dir)
-            state, metrics = self.step_fn(state, jb, sub)
-            global_step += 1  # == int(state.step) without a device sync
-            pending.append((global_step, metrics["loss"]))
-            if (self.profile_dir is not None
-                    and global_step - 1 == self.profile_steps[1]):
+                profiling = True
+            # base key only — the step folds in state.step itself
+            state, metrics = self.step_fn(state, jb, self.rng)
+            pending.append((global_step + 1, metrics["loss"]))
+            global_step += self.k  # == int(state.step) without a device sync
+            if (self.profile_dir is not None and profiling
+                    and global_step > self.profile_steps[1]):
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-                LOGGER.info("profiler trace written to %s", self.profile_dir)
+                profiling = False
+                self.profile_dir = None
+                LOGGER.info("profiler trace written")
             if global_step % self.log_steps == 0:
                 flush()
                 ex_per_s = n_examples / (time.time() - t_start)
@@ -359,11 +369,11 @@ class MixedTaskLoop:
             n_examples[name] = n_examples.get(name, 0) + n_ex
             n_in_units[name] = n_in_units.get(name, 0) + n_in
             n_loss_units[name] = n_loss_units.get(name, 0) + n_loss
-            self.rng, sub = jax.random.split(self.rng)
             if (self.profile_dir is not None
                     and global_step == self.profile_steps[0]):
                 jax.profiler.start_trace(self.profile_dir)
-            state, metrics = self.get_step(task)(state, jb, sub)
+            # base key only — the step folds in state.step itself
+            state, metrics = self.get_step(task)(state, jb, self.rng)
             global_step += 1
             pending.append((global_step, name, metrics["loss"]))
             if (self.profile_dir is not None

@@ -60,6 +60,7 @@ def make_train_step(
     mesh=None,
     loss_scale: str = "sum",
     accum_steps: int = 1,
+    steps_per_call: int = 1,
     donate: bool = True,
 ):
     """Build the jitted train step.
@@ -69,6 +70,9 @@ def make_train_step(
     (reference grad-sum semantics) and drives accumulation.
 
     Batch layout: [B, ...] when accum_steps == 1, else [accum, B, ...].
+    ``steps_per_call`` > 1 runs that many FULL optimizer steps per jit call
+    (lax.scan over [k, B, ...] stacked batches) — amortizes per-step host
+    dispatch (~2-4ms via remote backends); metrics come back stacked [k].
     """
     dp = mesh.shape["data"] if mesh is not None else 1
     scale = float(dp) if loss_scale == "sum" else 1.0
@@ -79,7 +83,28 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(scaled_loss, has_aux=True)
 
+    if steps_per_call > 1:
+        assert accum_steps == 1, "combine accumulation inside loss batches"
+
+        def multi_step_fn(state: TrainState, batches, rng):
+            def one(st, mb):
+                r = jax.random.fold_in(rng, st.step)
+                (loss, _), grads = grad_fn(st.params, mb, r)
+                return st.apply_gradients(grads), (
+                    loss / scale, optax.global_norm(grads))
+
+            state, (losses, gnorms) = jax.lax.scan(one, state, batches)
+            return state, {"loss": losses, "grad_norm": gnorms[-1]}
+
+        return jax.jit(multi_step_fn, donate_argnums=(0,) if donate else ())
+
     def step_fn(state: TrainState, batch, rng):
+        # rng is a BASE key: the per-step key derives from the step counter
+        # inside the compiled program. Host-side per-step split would
+        # dispatch an extra device op every step (measured ~2-4ms through a
+        # remote backend), and fold_in(base, step) makes dropout streams
+        # deterministic across checkpoint resume.
+        rng = jax.random.fold_in(rng, state.step)
         if accum_steps == 1:
             (loss, metrics), grads = grad_fn(state.params, batch, rng)
         else:

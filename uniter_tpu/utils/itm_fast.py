@@ -53,15 +53,23 @@ def build_eval_arrays(eval_ds, t_bucket: int, r_bucket: int):
 def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
                       txt_tile: int = 16, img_tile: int = 32,
                       shard_index: int = 0, shard_count: int = 1,
-                      dtype="bfloat16"):
+                      dtype="bfloat16", mesh=None):
     """[n_txt_shard, n_img] rank-score matrix + the shard's txt ids.
 
     Texts are sharded across processes by stride (reference
     utils/itm_eval.py:99: rows sharded by rank). ``dtype`` is the compute
     dtype for the device-resident features (bf16 halves HBM/transfer).
+    With a ``mesh``, each tile's text axis is additionally sharded over the
+    mesh's data axis, so all local chips score pairs concurrently
+    (pairs/s/chip is compute-bound at ~5k for uniter-base; multi-chip is
+    the scaling axis for COCO-size evals).
     """
     import jax
     import jax.numpy as jnp
+
+    n_dev = mesh.shape["data"] if mesh is not None else 1
+    txt_tile = max(txt_tile, n_dev)
+    txt_tile += (-txt_tile) % n_dev  # divisible by the data axis
 
     txt_ids, txt_len, img_feat, img_pos, img_nbb = build_eval_arrays(
         eval_ds, t_bucket, r_bucket)
@@ -82,13 +90,25 @@ def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
     nbb_p = pad_rows(img_nbb, img_tile)
 
     cdt = jnp.dtype(dtype)
-    d_txt = jax.device_put(jnp.asarray(t_sel))
-    d_tmask = jax.device_put(
-        (np.arange(t_bucket)[None] < tlen_sel[:, None]).astype(np.int32))
-    d_feat = jax.device_put(jnp.asarray(img_feat_p, cdt))
-    d_pos = jax.device_put(jnp.asarray(img_pos_p, cdt))
-    d_imask = jax.device_put(
-        (np.arange(r_bucket)[None] < nbb_p[:, None]).astype(np.int32))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        txt_sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+    else:
+        txt_sh = rep = None
+
+    def put(a, sh):
+        return jax.device_put(a, sh) if sh is not None else jax.device_put(a)
+
+    d_txt = put(jnp.asarray(t_sel), txt_sh)
+    d_tmask = put(
+        (np.arange(t_bucket)[None] < tlen_sel[:, None]).astype(np.int32),
+        txt_sh)
+    d_feat = put(jnp.asarray(img_feat_p, cdt), rep)
+    d_pos = put(jnp.asarray(img_pos_p, cdt), rep)
+    d_imask = put(
+        (np.arange(r_bucket)[None] < nbb_p[:, None]).astype(np.int32), rep)
 
     ct, ci = txt_tile, img_tile
 
