@@ -72,11 +72,14 @@ def main(opts):
         from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
         from uniter_tpu.utils.itm_fast import fast_score_matrix
 
+        # tile over THIS process's chips only — texts are already sharded
+        # across processes; a global mesh would make per-host tiles
+        # non-addressable
+        mesh = make_mesh(MeshConfig(data=-1), devices=jax.local_devices())
         mat, txt_ids = fast_score_matrix(
             model, params, ds, opts.txt_bucket, opts.img_bucket,
             txt_tile=opts.txt_tile, img_tile=opts.img_tile,
-            dtype=cfg.dtype, mesh=make_mesh(MeshConfig(data=-1)),
-            **shard_kw())
+            dtype=cfg.dtype, mesh=mesh, **shard_kw())
     else:
         predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
         mat, txt_ids = inference_score_matrix(

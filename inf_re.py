@@ -35,7 +35,10 @@ def main(opts):
     img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
                           max_bb=hps.max_bb, min_bb=hps.min_bb,
                           num_bb=hps.num_bb)
-    ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat)
+    from uniter_tpu.training.driver import shard_kw
+
+    ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat,
+                       **shard_kw())
     loader = BucketLoader(
         ds, spec_from_dataset(ds, opts.batch_size),
         shuffle=False, drop_last=False)
@@ -68,12 +71,20 @@ def main(opts):
                 "pred_box": [float(x) for x in pred_box],
                 "iou": float(iou),
             })
+    from uniter_tpu.parallel.collectives import all_gather_list, process_index
+
+    parts = all_gather_list((n_correct, n_ex, predictions))
+    n_correct = sum(p[0] for p in parts)
+    n_ex = sum(p[1] for p in parts)
+    predictions = [x for p in parts for x in p[2]]
     acc = n_correct / max(n_ex, 1)
-    os.makedirs(opts.output_dir, exist_ok=True)
     feat = "gt" if opts.use_gt_feat else "det"
-    with open(os.path.join(opts.output_dir, f"results_{feat}.json"),
-              "w") as f:
-        json.dump({"acc": acc, "n_ex": n_ex, "predictions": predictions}, f)
+    if process_index() == 0:
+        os.makedirs(opts.output_dir, exist_ok=True)
+        with open(os.path.join(opts.output_dir, f"results_{feat}.json"),
+                  "w") as f:
+            json.dump({"acc": acc, "n_ex": n_ex,
+                       "predictions": predictions}, f)
     LOGGER.info("RE %s-feature accuracy: %.4f (%d ex)", feat, acc, n_ex)
     return acc
 

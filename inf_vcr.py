@@ -15,7 +15,9 @@ import numpy as np
 from uniter_tpu.data.buckets import spec_from_dataset
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.vcr import VcrEvalDataset, VcrTxtTokDb
-from uniter_tpu.models.vcr import UniterForVisualCommonsenseReasoning
+from uniter_tpu.models.vcr import (
+    NUM_SPECIAL_TOKENS, UniterForVisualCommonsenseReasoning,
+)
 from uniter_tpu.training import infer
 from uniter_tpu.training.loop import jnp_batch
 from uniter_tpu.utils.const import IMG_DIM
@@ -34,6 +36,9 @@ def main(opts):
     cfg = infer.model_config_from_meta(
         model_json, type_vocab_size=4, dtype="float32",
         attention_impl=getattr(hps, "attention_impl", "xla"))
+    # the trained VCR model carries the +81 special-token word rows
+    # (train_vcr widens before loading; model.json records the base vocab)
+    cfg = cfg.replace(vocab_size=cfg.vocab_size + NUM_SPECIAL_TOKENS)
     model = UniterForVisualCommonsenseReasoning(cfg, img_dim=IMG_DIM)
 
     txt_db = VcrTxtTokDb(opts.txt_db, max_txt_len=-1, task="qa,qar")
@@ -43,8 +48,10 @@ def main(opts):
     img_db_gt = DetectFeatDb(opts.img_db_gt, conf_th=hps.conf_th,
                              max_bb=hps.max_bb, min_bb=hps.min_bb,
                              num_bb=hps.num_bb)
+    from uniter_tpu.training.driver import shard_kw
+
     ds = VcrEvalDataset(opts.split, txt_db, img_db_gt=img_db_gt,
-                        img_db=img_db)
+                        img_db=img_db, **shard_kw())
     loader = BucketLoader(
         ds, spec_from_dataset(ds, opts.batch_size),
         shuffle=False, drop_last=False, collate=VcrEvalDataset.collate)
@@ -84,6 +91,11 @@ def main(opts):
             n_ex += 1
             off += n_rows
 
+    from uniter_tpu.parallel.collectives import all_gather_list, process_index
+
+    n_qa, n_qar, n_ex = (sum(v) for v in zip(
+        *all_gather_list((n_qa, n_qar, n_ex))))
+    rows_out = [r for part in all_gather_list(rows_out) for r in part]
     os.makedirs(opts.output_dir, exist_ok=True)
     if opts.split == "val":
         logs = {"qa_acc": n_qa / max(n_ex, 1),
@@ -91,19 +103,21 @@ def main(opts):
         LOGGER.info("VCR val: %s", logs)
         import json
 
-        with open(os.path.join(opts.output_dir, "results_val.json"),
-                  "w") as f:
-            json.dump(logs, f)
+        if process_index() == 0:
+            with open(os.path.join(opts.output_dir, "results_val.json"),
+                      "w") as f:
+                json.dump(logs, f)
         return logs
     header = (["annot_id"] + [f"answer_{i}" for i in range(4)]
               + [f"rationale_conditioned_on_a{g}_{i}"
                  for g in range(4) for i in range(4)])
     out_csv = os.path.join(opts.output_dir, f"{opts.split}_submission.csv")
-    with open(out_csv, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(header)
-        w.writerows(rows_out)
-    LOGGER.info("wrote %d rows to %s", len(rows_out), out_csv)
+    if process_index() == 0:
+        with open(out_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            w.writerows(rows_out)
+        LOGGER.info("wrote %d rows to %s", len(rows_out), out_csv)
     return out_csv
 
 

@@ -44,7 +44,11 @@ def main(opts):
     img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
                           max_bb=hps.max_bb, min_bb=hps.min_bb,
                           num_bb=hps.num_bb)
-    ds = VqaDataset(num_answer, txt_db, img_db)
+    # texts shard across processes; results all-gathered before writing
+    # (reference inf_vqa.py runs multi-GPU with hvd all_gather)
+    from uniter_tpu.training.driver import shard_kw
+
+    ds = VqaDataset(num_answer, txt_db, img_db, **shard_kw())
     loader = BucketLoader(
         ds, spec_from_dataset(ds, opts.batch_size),
         shuffle=False, drop_last=False)
@@ -68,13 +72,20 @@ def main(opts):
             if opts.save_logits:
                 all_logits[str(qid)] = row.astype(np.float16)
 
-    os.makedirs(opts.output_dir, exist_ok=True)
+    from uniter_tpu.parallel.collectives import all_gather_list, process_index
+
+    gathered = all_gather_list((results, all_logits))
+    results = [r for part, _ in gathered for r in part]
+    all_logits = {k: v for _, part in gathered for k, v in part.items()}
     out = os.path.join(opts.output_dir, "results.json")
-    with open(out, "w") as f:
-        json.dump(results, f)
-    if opts.save_logits:
-        np.savez(os.path.join(opts.output_dir, "logits.npz"), **all_logits)
-    LOGGER.info("wrote %d answers to %s", len(results), out)
+    if process_index() == 0:
+        os.makedirs(opts.output_dir, exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(results, f)
+        if opts.save_logits:
+            np.savez(os.path.join(opts.output_dir, "logits.npz"),
+                     **all_logits)
+        LOGGER.info("wrote %d answers to %s", len(results), out)
     return out
 
 

@@ -226,23 +226,13 @@ def main(opts):
                 accum_steps=opts.gradient_accumulation_steps)
         return step_fns[task]
 
-    def loss_units(task, batch):
-        # reference n_loss_units: the unreduced loss's leading dim
-        # (pretrain.py:266-293): masked tokens (mlm), masked regions (mrm),
-        # examples (itm)
-        if task == "mlm":
-            return (batch["mlm_tgt"] != -1).sum()
-        if task.startswith("mr"):
-            return batch["mrm_valid"].sum()
-        return batch["ex_weight"].sum()
-
     pred_cache = {}
 
     def validate_fn(state, step):
         return (validate(model, state.params, val_loaders, pred_cache)
                 if val_loaders else {})
 
-    from uniter_tpu.training.loop import MixedTaskLoop
+    from uniter_tpu.training.loop import MixedTaskLoop, pretrain_loss_units
 
     cdt = cfg.compute_dtype
     loop = MixedTaskLoop(
@@ -250,7 +240,7 @@ def main(opts):
         num_train_steps=opts.num_train_steps, valid_steps=opts.valid_steps,
         log_steps=getattr(opts, "log_steps", 100),
         validate_fn=validate_fn, saver=saver, seed=opts.seed,
-        accum=accum > 1, loss_units_fn=loss_units,
+        accum=accum > 1, loss_units_fn=pretrain_loss_units,
         profile_dir=getattr(opts, "profile_dir", None),
         transfer_dtype=None if cdt == jnp.float32 else cdt)
     return loop.run()

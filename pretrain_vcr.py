@@ -136,14 +136,7 @@ def main(opts):
                 accum_steps=opts.gradient_accumulation_steps)
         return step_fns[task]
 
-    def loss_units(task, batch):
-        if task == "mlm":
-            return (batch["mlm_tgt"] != -1).sum()
-        if task.startswith("mr"):
-            return batch["mrm_valid"].sum()
-        return batch["ex_weight"].sum()
-
-    from uniter_tpu.training.loop import MixedTaskLoop
+    from uniter_tpu.training.loop import MixedTaskLoop, pretrain_loss_units
 
     pred_cache = {}
 
@@ -165,7 +158,7 @@ def main(opts):
         validate_fn=validate_fn,
         saver=saver, seed=opts.seed,
         accum=opts.gradient_accumulation_steps > 1,
-        loss_units_fn=loss_units,
+        loss_units_fn=pretrain_loss_units,
         profile_dir=getattr(opts, "profile_dir", None),
         transfer_dtype=None if cdt == jnp.float32 else cdt)
     return loop.run()

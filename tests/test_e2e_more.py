@@ -92,6 +92,20 @@ def test_train_re_e2e(tmp_path):
     state = train_re.main(opts)
     assert int(state.step) == 2
 
+    # chain RE inference: IoU>0.5 accuracy on gt boxes + predictions dump
+    import inf_re
+
+    iargv = inf_re.get_parser().parse_args([
+        "--txt_db", txt_dir, "--img_db", img_dir,
+        "--train_dir", str(tmp_path / "out"),
+        "--output_dir", str(tmp_path / "reinf"),
+        "--use_gt_feat", "--batch_size", "256",
+    ])
+    acc = inf_re.main(iargv)
+    assert 0.0 <= acc <= 1.0
+    res = json.load(open(str(tmp_path / "reinf") + "/results_gt.json"))
+    assert res["n_ex"] == 8 and len(res["predictions"]) == 8
+
 
 @pytest.fixture()
 def itm_env(tmp_path):
@@ -241,6 +255,27 @@ def test_vcr_finetune_e2e(tmp_path):
     opts = parse_with_config(train_vcr.get_parser(), argv)
     state = train_vcr.main(opts)
     assert int(state.step) == 2
+
+    # chain VCR inference: val accuracies + test leaderboard CSV
+    import inf_vcr
+
+    iargv = inf_vcr.get_parser().parse_args([
+        "--txt_db", txt_dir, "--img_db", img_det, "--img_db_gt", img_gt,
+        "--train_dir", str(tmp_path / "vout"),
+        "--output_dir", str(tmp_path / "vinf"),
+        "--split", "val", "--batch_size", "512",
+    ])
+    logs = inf_vcr.main(iargv)
+    assert logs["n_ex"] == 8 and 0.0 <= logs["qa_acc"] <= 1.0
+    iargv = inf_vcr.get_parser().parse_args([
+        "--txt_db", txt_dir, "--img_db", img_det, "--img_db_gt", img_gt,
+        "--train_dir", str(tmp_path / "vout"),
+        "--output_dir", str(tmp_path / "vinf"),
+        "--split", "test", "--batch_size", "512",
+    ])
+    csv_path = inf_vcr.main(iargv)
+    lines = open(csv_path).read().strip().splitlines()
+    assert len(lines) == 1 + 8 and lines[0].startswith("annot_id")
 
 
 def test_fast_score_matrix_matches_batched(itm_env):

@@ -75,6 +75,21 @@ def test_train_vqa_e2e(env):
     state = train_vqa.main(opts)
     assert int(state.step) == 3
 
+    # chain inference off the training dir (reference inf_vqa.py surface)
+    import inf_vqa
+
+    iargv = inf_vqa.get_parser().parse_args([
+        "--txt_db", env["txt"], "--img_db", env["img"],
+        "--train_dir", env["root"] + "/vqa_out",
+        "--output_dir", env["root"] + "/vqa_inf",
+        "--batch_size", "256", "--save_logits",
+    ])
+    out = inf_vqa.main(iargv)
+    answers = json.load(open(out))
+    assert len(answers) == 24
+    assert all("question_id" in a and "answer" in a for a in answers)
+    assert os.path.exists(env["root"] + "/vqa_inf/logits.npz")
+
 
 def test_pretrain_e2e(env):
     import pretrain
@@ -102,3 +117,31 @@ def test_pretrain_e2e(env):
     ]
     state = pretrain.main(opts)
     assert int(state.step) == 6
+
+
+def test_train_vqa_fsdp_e2e_and_resume(env):
+    """--fsdp: ZeRO-3 state placement through the real driver, including
+    Orbax restore of a sharded train state (the resume target carries the
+    FSDP shardings)."""
+    import train_vqa
+    from uniter_tpu.utils.misc import parse_with_config
+
+    out = env["root"] + "/vqa_fsdp_out"
+    argv = [
+        "--train_txt_db", env["txt"], "--train_img_db", env["img"],
+        "--val_txt_db", env["txt"], "--val_img_db", env["img"],
+        "--model_config", env["cfg"], "--output_dir", out,
+        "--num_answer", "7",
+        "--train_batch_size", "256", "--val_batch_size", "256",
+        "--num_train_steps", "2", "--valid_steps", "2",
+        "--warmup_steps", "1", "--max_bb", "10", "--min_bb", "3",
+        "--dtype", "float32", "--seed", "2", "--fsdp",
+    ]
+    opts = parse_with_config(train_vqa.get_parser(), argv)
+    state = train_vqa.main(opts)
+    assert int(state.step) == 2
+
+    argv[argv.index("--num_train_steps") + 1] = "4"
+    opts = parse_with_config(train_vqa.get_parser(), argv)
+    state = train_vqa.main(opts)  # must restore the sharded state at step 2
+    assert int(state.step) == 4

@@ -42,3 +42,27 @@ def test_device_prefetcher_order_and_errors():
     except ValueError:
         pass
     assert got == [0, 1, 2]
+
+
+def test_looped_loader_smaller_than_one_batch_does_not_spin():
+    """drop_last with a dataset smaller than every bucket's batch size must
+    keep the padded partial batches — a looped loader previously yielded
+    empty epochs forever (found driving train_vqa on a 4-example DB)."""
+    import itertools
+
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.sampler import StaticBucketSampler
+
+    sizes = [(6, 5)] * 4  # all land in one bucket; batch size >> 4
+    spec = BucketSpec(txt_buckets=(32,), img_buckets=(8,),
+                      token_budget=512, size_mul=8)
+    s = StaticBucketSampler(sizes, spec, shuffle=True, seed=0,
+                            drop_last=True)
+    assert len(s) == 1
+    batches = list(itertools.islice(iter(s), 5))
+    assert len(batches) == 1 and len(batches[0][1]) == 4
+    # and a normal-size dataset still drops the tail
+    s2 = StaticBucketSampler([(6, 5)] * 20, spec, shuffle=False,
+                             drop_last=True)
+    bs = s2.batch_size((32, 8))
+    assert all(len(idxs) == bs for _, idxs in s2)

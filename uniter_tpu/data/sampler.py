@@ -48,7 +48,7 @@ class StaticBucketSampler:
     def __iter__(self) -> Iterator[Tuple[Tuple[int, int], List[int]]]:
         rng = np.random.RandomState(self.seed + self.epoch)
         self.epoch += 1
-        batches = []
+        batches, partial = [], []
         for bucket, idxs in self.buckets.items():
             idxs = list(idxs)
             if self.shuffle:
@@ -57,18 +57,28 @@ class StaticBucketSampler:
             for st in range(0, len(idxs), bs):
                 chunk = idxs[st:st + bs]
                 if len(chunk) < bs and self.drop_last:
+                    partial.append((bucket, chunk))
                     continue
                 batches.append((bucket, chunk))
+        if not batches:
+            # dataset smaller than one batch everywhere: keep the padded
+            # partials — otherwise a looped loader would spin forever
+            # yielding empty epochs
+            batches = partial
         if self.shuffle:
             rng.shuffle(batches)
         return iter(batches)
 
     def __len__(self):
         n = 0
+        n_partial = 0
         for bucket, idxs in self.buckets.items():
             bs = self.batch_size(bucket)
             full, rem = divmod(len(idxs), bs)
             n += full + (0 if (self.drop_last or rem == 0) else 1)
+            n_partial += int(rem > 0)
+        if n == 0:
+            return n_partial  # see __iter__: partials kept when all-partial
         return n
 
 

@@ -97,6 +97,13 @@ def jnp_batch(batch):
     return {k: v for k, v in batch.items() if isinstance(v, (np.ndarray,))}
 
 
+def _crossed(step: int, k: int, every: int) -> bool:
+    """True when [step-k, step] crossed a multiple of ``every`` (with
+    steps_per_call k > 1, exact equality would skip boundaries that are not
+    multiples of k)."""
+    return step // every > (step - k) // every
+
+
 def _clamp_profile(profile_steps, num_train_steps):
     """Fit the profiled step window inside the run (short smoke runs would
     otherwise never hit the default 10-15 window)."""
@@ -184,6 +191,10 @@ class TrainLoop:
         start_step = int(state.step)
         if start_step > 0:
             LOGGER.info("resuming from step %d", start_step)
+            if self.profile_dir is not None:
+                span = self.profile_steps[1] - self.profile_steps[0]
+                self.profile_steps = (start_step + 2,
+                                      start_step + 2 + span)
         n_examples = 0
         t_start = time.time()
 
@@ -215,6 +226,7 @@ class TrainLoop:
                 for b in self.train_loader
             )
         global_step = start_step
+        last_saved = -1
         pending = []  # (first step, loss scalar or [k]) — flushed at boundaries
 
         def flush():
@@ -243,7 +255,7 @@ class TrainLoop:
                 profiling = False
                 self.profile_dir = None
                 LOGGER.info("profiler trace written")
-            if global_step % self.log_steps == 0:
+            if _crossed(global_step, self.k, self.log_steps):
                 flush()
                 ex_per_s = n_examples / (time.time() - t_start)
                 TB_LOGGER.add_scalar("loss", meter.val, global_step)
@@ -254,7 +266,8 @@ class TrainLoop:
                     "step %d/%d loss %.4f (%.1f ex/s)",
                     global_step, self.num_train_steps, meter.val or 0.0,
                     ex_per_s)
-            if self.valid_steps and global_step % self.valid_steps == 0:
+            if self.valid_steps and _crossed(global_step, self.k,
+                                             self.valid_steps):
                 flush()
                 if self.validate_fn is not None:
                     logs = self.validate_fn(state, global_step)
@@ -264,13 +277,26 @@ class TrainLoop:
                             step=global_step)
                 if self.saver is not None:
                     self.saver.save(global_step, state)
+                    last_saved = global_step
         flush()
+        if profiling:
+            jax.profiler.stop_trace()
         assert global_step == int(state.step)
-        if self.saver is not None and global_step % max(
-                self.valid_steps, 1) != 0:
+        if self.saver is not None and last_saved != global_step:
             self.saver.save(global_step, state)
         self.state = state
         return state
+
+
+def pretrain_loss_units(task: str, batch) -> int:
+    """Per-task loss-unit counts (the reference's n_loss_units,
+    pretrain.py:266-293): masked tokens (mlm), masked regions (mrm),
+    examples (itm). Shared by pretrain.py and pretrain_vcr.py."""
+    if task == "mlm":
+        return int((batch["mlm_tgt"] != -1).sum())
+    if task.startswith("mr"):
+        return int(batch["mrm_valid"].sum())
+    return int(batch["ex_weight"].sum())
 
 
 class MixedTaskLoop:
@@ -317,6 +343,7 @@ class MixedTaskLoop:
         self.profile_steps = _clamp_profile(profile_steps, num_train_steps)
         self.prefetch = prefetch
         self.transfer_dtype = transfer_dtype
+        self._profiling = False
 
     def _counters(self, name, batch):
         n_ex = int(batch["ex_weight"].sum()) if "ex_weight" in batch else int(
@@ -336,8 +363,13 @@ class MixedTaskLoop:
         n_loss_units: Dict[str, int] = {}
         t_start = time.time()
         global_step = int(state.step)
+        last_saved = -1
         if global_step > 0:
             LOGGER.info("resuming from step %d", global_step)
+            if self.profile_dir is not None:
+                span = self.profile_steps[1] - self.profile_steps[0]
+                self.profile_steps = (global_step + 2,
+                                      global_step + 2 + span)
 
         def put(item):
             name, batch = item
@@ -369,18 +401,21 @@ class MixedTaskLoop:
             n_examples[name] = n_examples.get(name, 0) + n_ex
             n_in_units[name] = n_in_units.get(name, 0) + n_in
             n_loss_units[name] = n_loss_units.get(name, 0) + n_loss
-            if (self.profile_dir is not None
-                    and global_step == self.profile_steps[0]):
+            if (self.profile_dir is not None and not self._profiling
+                    and global_step >= self.profile_steps[0]):
                 jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
             # base key only — the step folds in state.step itself
             state, metrics = self.get_step(task)(state, jb, self.rng)
             global_step += 1
             pending.append((global_step, name, metrics["loss"]))
-            if (self.profile_dir is not None
-                    and global_step - 1 == self.profile_steps[1]):
+            if (self.profile_dir is not None and self._profiling
+                    and global_step > self.profile_steps[1]):
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-                LOGGER.info("profiler trace written to %s", self.profile_dir)
+                self._profiling = False
+                self.profile_dir = None
+                LOGGER.info("profiler trace written")
             if global_step % self.log_steps == 0:
                 flush()
                 dt = time.time() - t_start
@@ -417,10 +452,12 @@ class MixedTaskLoop:
                             step=global_step)
                 if self.saver is not None:
                     self.saver.save(global_step, state)
+                    last_saved = global_step
         flush()
+        if self._profiling:
+            jax.profiler.stop_trace()
         assert global_step == int(state.step)
-        if self.saver is not None and global_step % max(
-                self.valid_steps, 1) != 0:
+        if self.saver is not None and last_saved != global_step:
             self.saver.save(global_step, state)
         self.state = state
         return state
