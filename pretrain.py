@@ -68,6 +68,9 @@ DATASET_REGISTRY = {
         opts.mrm_prob, txt, img, **kw),
     "mrc-kl": lambda txt, img, opts, **kw: MrcDataset(
         opts.mrm_prob, txt, img, **kw),
+    # the reference configs spell it "mrckl" (config/pretrain-*.json)
+    "mrckl": lambda txt, img, opts, **kw: MrcDataset(
+        opts.mrm_prob, txt, img, **kw),
     "itm": lambda txt, img, opts, **kw: ItmDataset(
         txt, img, neg_sample_p=opts.itm_neg_prob, **kw),
 }

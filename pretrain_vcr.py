@@ -66,6 +66,9 @@ DATASETS = {
     "mrc": lambda opts, *a, **kw: MrcDatasetForVCR(opts.mrm_prob, *a, **kw),
     "mrc-kl": lambda opts, *a, **kw: MrcDatasetForVCR(
         opts.mrm_prob, *a, **kw),
+    # the reference configs spell it "mrckl" (config/pretrain-vcr-*.json)
+    "mrckl": lambda opts, *a, **kw: MrcDatasetForVCR(
+        opts.mrm_prob, *a, **kw),
 }
 
 

@@ -47,3 +47,30 @@ def test_parse_with_config_precedence(tmp_path):
     assert args.output_dir == "/from/json"  # JSON beats default
     assert args.seed == 9
     assert not hasattr(args, "config")
+
+
+def test_all_recipe_configs_parse_and_tasks_known():
+    """Every configs/*.json parses; pretrain recipes only reference tasks the
+    dataset registries know (the reference spells MRC-kl 'mrckl')."""
+    import glob
+    import json
+    import os
+
+    import pretrain
+    import pretrain_vcr
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(root, "*.json")))
+    assert len(files) >= 23
+    for f in files:
+        cfg = json.load(open(f))
+        name = os.path.basename(f)
+        registry = (pretrain_vcr.DATASETS if "vcr" in name
+                    else pretrain.DATASET_REGISTRY)
+        for key in ("train_datasets", "val_datasets"):
+            for dset in cfg.get(key) or []:
+                for task in dset["tasks"]:
+                    assert task in registry, (name, task)
+        if "model_config" in cfg:
+            mc = os.path.join(root, os.path.basename(cfg["model_config"]))
+            assert os.path.exists(mc), cfg["model_config"]
