@@ -66,3 +66,15 @@ def test_looped_loader_smaller_than_one_batch_does_not_spin():
                              drop_last=True)
     bs = s2.batch_size((32, 8))
     assert all(len(idxs) == bs for _, idxs in s2)
+
+
+def test_crossed_boundary_cadence():
+    """steps_per_call cadence: every log/valid boundary fires exactly once
+    even when the boundary is not a multiple of k."""
+    from uniter_tpu.training.loop import _crossed
+
+    for k in (1, 3, 8):
+        fired = [s for s in range(k, 2000 + k + 1, k) if _crossed(s, k, 500)]
+        assert len(fired) == 4, (k, fired)  # 500,1000,1500,2000 each once
+        assert all(s - k < b <= s for s, b in zip(fired, (500, 1000, 1500,
+                                                          2000)))
