@@ -272,13 +272,17 @@ def main(opts):
             qs = json.load(f)
         questions = qs["questions"] if isinstance(qs, dict) else qs
         annotations = None
+        ans2label = {}
         if opts.vqa_annotations:
             with open(opts.vqa_annotations) as f:
                 anns = json.load(f)
             anns = anns["annotations"] if isinstance(anns, dict) else anns
             annotations = {int(a["question_id"]): a for a in anns}
-        with open(opts.ans2label) as f:
-            ans2label = json.load(f)
+            if not opts.ans2label:
+                raise ValueError("--ans2label is required with "
+                                 "--vqa_annotations")
+            with open(opts.ans2label) as f:
+                ans2label = json.load(f)
         id2len, txt2img = process_vqa(
             questions, annotations, ans2label, db, tokenize,
             img_format=opts.img_format or "coco_{:012}.npz")

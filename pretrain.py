@@ -93,20 +93,21 @@ def create_dataloaders(datasets_cfg, opts, mesh, train=True) -> Dict[str, tuple]
             parts = []
             for txt_path, img_dir in zip(txt_dbs, img_dirs):
                 txt_db = TxtTokDb(txt_path, max_txt_len=opts.max_txt_len)
-                # shard ids per process (reference data/data.py:218-225);
-                # validation counters are all-gathered in validate()
-                ds = build(txt_db, img_group[img_dir], opts,
-                           **driver.shard_kw())
+                ds = build(txt_db, img_group[img_dir], opts)
                 parts.append(ds)
             ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
             spec = driver.bucket_spec(
                 opts, mesh, ds,
                 budget=None if train else opts.val_batch_size)
             collate = type(parts[0]).collate
+            # sharding lives in the loader: all hosts share one batch
+            # plan, each materializes its block (validation counters are
+            # all-gathered in validate())
             loader = BucketLoader(ds, spec, collate=collate,
                                   seed=opts.seed, loop=train,
                                   shuffle=train, drop_last=train,
-                                  num_workers=opts.n_workers)
+                                  num_workers=opts.n_workers,
+                                  **driver.shard_kw())
             out[f"{task}_{name}"] = (loader, ratio)
     return out
 

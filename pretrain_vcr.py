@@ -90,7 +90,7 @@ def main(opts):
                                      max_txt_len=opts.max_txt_len,
                                      task=dset.get("vcr_task", "qa,qar"))
                 ds = DATASETS[task](opts, txt_db, img_db_gt=img_db_gt,
-                                    img_db=img_db, **driver.shard_kw())
+                                    img_db=img_db)
                 spec = driver.bucket_spec(
                     opts, mesh, ds,
                     budget=None if train else opts.val_batch_size)
@@ -98,7 +98,8 @@ def main(opts):
                     BucketLoader(ds, spec, collate=type(ds).collate,
                                  seed=opts.seed, loop=train, shuffle=train,
                                  drop_last=train,
-                                 num_workers=opts.n_workers), ratio)
+                                 num_workers=opts.n_workers,
+                                 **driver.shard_kw()), ratio)
         return out
 
     loaders = make_loaders(opts.train_datasets)

@@ -125,3 +125,37 @@ def test_mrm_mask_embedding(model_and_params):
     out_zero = model.apply({"params": params}, **batch, img_masks=zero_masks)
     np.testing.assert_allclose(
         np.asarray(out_zero), np.asarray(out_plain), rtol=1e-6, atol=1e-6)
+
+
+def test_fused_qkv_bit_exact_and_checkpoint_compatible():
+    """fused_qkv=True (one [H,3H] QKV GEMM) is a pure compute-layout change:
+    identical param tree and bit-identical outputs vs the unfused path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+
+    rng = np.random.RandomState(0)
+    B, T, R, IMG = 4, 8, 6, 32
+    batch = dict(
+        input_ids=jnp.asarray(rng.randint(1, 500, (B, T)), jnp.int32),
+        position_ids=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)),
+        img_feat=jnp.asarray(rng.randn(B, R, IMG), jnp.float32),
+        img_pos_feat=jnp.asarray(rng.rand(B, R, 7), jnp.float32),
+        attn_mask=jnp.ones((B, T + R), jnp.int32),
+    )
+    m1 = UniterForVisualQuestionAnswering(tiny_config(), img_dim=IMG,
+                                          num_answer=5)
+    params = m1.init({"params": jax.random.PRNGKey(0)}, batch, False)[
+        "params"]
+    m2 = UniterForVisualQuestionAnswering(tiny_config(fused_qkv=True),
+                                          img_dim=IMG, num_answer=5)
+    p2 = m2.init({"params": jax.random.PRNGKey(0)}, batch, False)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+    assert all(a.shape == b.shape for a, b in
+               zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
+    o1 = np.asarray(m1.apply({"params": params}, batch, False))
+    o2 = np.asarray(m2.apply({"params": params}, batch, False))
+    np.testing.assert_array_equal(o1, o2)

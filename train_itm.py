@@ -98,16 +98,29 @@ def main(opts):
     model, cfg, params = build_model_and_params(
         opts, jax.random.PRNGKey(opts.seed))
 
-    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
-    img_db = driver.open_img_db(opts.train_img_db, opts)
-    train_ds = ItmRankDataset(txt_db, img_db,
-                              neg_sample_size=opts.negative_size,
-                              **driver.shard_kw())
+    # reference configs declare db LISTS (train_txt_dbs/train_img_dbs,
+    # e.g. COCO train + restval); singular flags remain for single-corpus
+    txt_paths = opts.train_txt_dbs or [opts.train_txt_db]
+    img_paths = opts.train_img_dbs or [opts.train_img_db]
     sample_size = 1 + 2 * opts.negative_size
-    train_ds.rows_per_example = sample_size
+    parts = []
+    for txt_path, img_path in zip(txt_paths, img_paths):
+        ds = ItmRankDataset(TxtTokDb(txt_path, max_txt_len=opts.max_txt_len),
+                            driver.open_img_db(img_path, opts),
+                            neg_sample_size=opts.negative_size)
+        ds.rows_per_example = sample_size
+        parts.append(ds)
+    if len(parts) == 1:
+        train_ds = parts[0]
+    else:
+        from uniter_tpu.data.datasets import ConcatDataset
+
+        train_ds = ConcatDataset(parts)
+        train_ds.rows_per_example = sample_size
     spec = driver.bucket_spec(opts, mesh, train_ds)
     train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True,
-                               num_workers=opts.n_workers)
+                               num_workers=opts.n_workers,
+                               **driver.shard_kw())
 
     val_txt = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len)
     val_img = driver.open_img_db(opts.val_img_db, opts)
@@ -138,6 +151,8 @@ def get_parser():
     driver.add_common_args(parser)
     parser.add_argument("--train_txt_db", type=str)
     parser.add_argument("--train_img_db", type=str)
+    parser.add_argument("--train_txt_dbs", type=str, nargs="*", default=None)
+    parser.add_argument("--train_img_dbs", type=str, nargs="*", default=None)
     parser.add_argument("--val_txt_db", type=str)
     parser.add_argument("--val_img_db", type=str)
     parser.add_argument("--negative_size", type=int, default=1)

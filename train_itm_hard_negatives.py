@@ -57,8 +57,11 @@ def main(opts):
     assert (opts.negative_size + 1) % 8 == 0, \
         "candidate count must align to 8 (reference :438 tensor-core rule)"
 
-    txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
-    img_db = driver.open_img_db(opts.train_img_db, opts)
+    # reference HN configs declare single-element db LISTS
+    txt_path = (opts.train_txt_dbs or [opts.train_txt_db])[0]
+    img_path = (opts.train_img_dbs or [opts.train_img_db])[0]
+    txt_db = TxtTokDb(txt_path, max_txt_len=opts.max_txt_len)
+    img_db = driver.open_img_db(img_path, opts)
     ds_t = ItmRankDatasetHardNegFromText(
         txt_db, img_db, neg_sample_size=opts.negative_size)
     ds_i = ItmRankDatasetHardNegFromImage(
@@ -115,9 +118,13 @@ def main(opts):
                 for k in batches[0] if isinstance(batches[0][k], np.ndarray)
             }
 
+    # every host builds the IDENTICAL candidate batches (same-seed
+    # loaders over the unsharded dataset); device_put slices this host's
+    # block of the candidate axis (local=False)
     it = DevicePrefetcher(
         stacked_batches(),
-        lambda b: device_put_batch(b, mesh, accum=True), depth=2)
+        lambda b: device_put_batch(b, mesh, accum=True, local=False),
+        depth=2)
 
     rng = default_prng_key(opts.seed)  # rbg on TPU (threefry ~18ms/step)
     guard = NanGuard()
@@ -158,6 +165,8 @@ def get_parser():
     driver.add_common_args(parser)
     parser.add_argument("--train_txt_db", type=str)
     parser.add_argument("--train_img_db", type=str)
+    parser.add_argument("--train_txt_dbs", type=str, nargs="*", default=None)
+    parser.add_argument("--train_img_dbs", type=str, nargs="*", default=None)
     parser.add_argument("--val_txt_db", type=str)
     parser.add_argument("--val_img_db", type=str)
     parser.add_argument("--negative_size", type=int, default=511)

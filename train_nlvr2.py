@@ -33,8 +33,8 @@ def build_dataset(txt_path, img_path, opts, is_train):
         min_bb=opts.min_bb, num_bb=opts.num_bb)
     cls = (Nlvr2PairedDataset if opts.model in ("paired", "paired-attn")
            else Nlvr2TripletDataset)
-    kw = driver.shard_kw() if is_train else {}
-    return cls(txt_db, img_db, use_img_type=opts.use_img_type, **kw)
+    del is_train  # sharding lives in the train loader (global plan)
+    return cls(txt_db, img_db, use_img_type=opts.use_img_type)
 
 
 def build_model_and_params(opts, rng):
@@ -104,12 +104,13 @@ def main(opts):
     size_mul = max(8, dp * rows)
     spec = BucketSpec(token_budget=opts.train_batch_size, size_mul=size_mul)
     train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True,
+                                **driver.shard_kw(),
                                num_workers=opts.n_workers)
     val_ds = build_dataset(opts.val_txt_db, opts.val_img_db, opts, False)
     val_loader = BucketLoader(
         val_ds, BucketSpec(token_budget=opts.val_batch_size,
                            size_mul=size_mul),
-        shuffle=False, drop_last=False)
+        shuffle=False, drop_last=False, **driver.shard_kw())
     test_loader = None
     if opts.test_txt_db and opts.test_img_db:
         test_ds = build_dataset(opts.test_txt_db, opts.test_img_db, opts,
@@ -117,7 +118,7 @@ def main(opts):
         test_loader = BucketLoader(
             test_ds, BucketSpec(token_budget=opts.val_batch_size,
                                 size_mul=size_mul),
-            shuffle=False, drop_last=False)
+            shuffle=False, drop_last=False, **driver.shard_kw())
 
     paired = opts.model in ("paired", "paired-attn")
 

@@ -68,16 +68,17 @@ def main(opts):
 
     txt_db = ReTxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
     img_db = driver.open_img_db(opts.train_img_db, opts)
-    train_ds = ReDataset(txt_db, img_db, **driver.shard_kw())
+    train_ds = ReDataset(txt_db, img_db)
     spec = driver.bucket_spec(opts, mesh, train_ds)
-    train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True)
+    train_loader = BucketLoader(train_ds, spec, seed=opts.seed,
+                                loop=True, **driver.shard_kw())
 
     val_txt = ReTxtTokDb(opts.val_txt_db, max_txt_len=-1)
     val_img = driver.open_img_db(opts.val_img_db, opts)
     val_loader = BucketLoader(
         ReEvalDataset(val_txt, val_img, use_gt_feat=True),
         driver.bucket_spec(opts, mesh, train_ds, opts.val_batch_size),
-        shuffle=False, drop_last=False)
+        shuffle=False, drop_last=False, **driver.shard_kw())
 
     def loss_fn(p, batch, rng):
         per_ex = model.apply(

@@ -51,7 +51,7 @@ def build_train_datasets(opts):
         txt_db = VcrTxtTokDb(opts.train_txt_db,
                              max_txt_len=opts.max_txt_len, task=task)
         datasets.append(VcrDataset(txt_db, img_db_gt=img_db_gt,
-                                   img_db=img_db, **driver.shard_kw()))
+                                   img_db=img_db))
     ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
     if len(datasets) > 1:
         ds.rows_per_example = 4
@@ -98,7 +98,7 @@ def main(opts):
     spec = driver.bucket_spec(opts, mesh, train_ds)
     train_loader = BucketLoader(
         train_ds, spec, seed=opts.seed, loop=True,
-        collate=VcrDataset.collate)
+        collate=VcrDataset.collate, **driver.shard_kw())
 
     val_txt = VcrTxtTokDb(opts.val_txt_db, max_txt_len=-1, task="qa,qar")
     val_ds = VcrEvalDataset(
@@ -107,7 +107,8 @@ def main(opts):
         img_db=driver.open_img_db(opts.val_img_db, opts))
     val_loader = BucketLoader(
         val_ds, driver.bucket_spec(opts, mesh, val_ds, opts.val_batch_size),
-        shuffle=False, drop_last=False, collate=VcrEvalDataset.collate)
+        shuffle=False, drop_last=False, collate=VcrEvalDataset.collate,
+        **driver.shard_kw())
 
     def loss_fn(p, batch, rng):
         per_row = model.apply(

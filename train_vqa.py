@@ -61,18 +61,18 @@ def main(opts):
 
     txt_db = TxtTokDb(opts.train_txt_db, max_txt_len=opts.max_txt_len)
     img_db = driver.open_img_db(opts.train_img_db, opts)
-    train_ds = VqaDataset(opts.num_answer, txt_db, img_db,
-                          **driver.shard_kw())
+    train_ds = VqaDataset(opts.num_answer, txt_db, img_db)
     spec = driver.bucket_spec(opts, mesh, train_ds)
     train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True,
-                               num_workers=opts.n_workers)
+                               num_workers=opts.n_workers,
+                               **driver.shard_kw())
 
     val_txt = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len)
     val_img = driver.open_img_db(opts.val_img_db, opts)
     val_loader = BucketLoader(
         VqaDataset(opts.num_answer, val_txt, val_img),
         driver.bucket_spec(opts, mesh, train_ds, opts.val_batch_size),
-        shuffle=False, drop_last=False)
+        shuffle=False, drop_last=False, **driver.shard_kw())
 
     num_answer = opts.num_answer
 

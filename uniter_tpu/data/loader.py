@@ -27,8 +27,21 @@ from uniter_tpu.data.sampler import StaticBucketSampler
 
 
 class BucketLoader:
-    """Yields (name, batch) fixed-shape numpy batches forever (train) or for
-    one pass (eval)."""
+    """Yields fixed-shape numpy batches forever (train) or for one pass
+    (eval).
+
+    Multi-host contract (``shard_index``/``shard_count``): the sampler runs
+    over the FULL dataset with the same seed on every host, so all hosts
+    follow an identical global batch plan (bucket sequence and batch sizes
+    in lockstep — required for SPMD training over a global mesh, where
+    per-host plans would dispatch mismatched programs). Each host then
+    materializes only its contiguous block of every batch (1/P of the rows,
+    matching the data-axis device order) and yields that LOCAL batch;
+    ``training.loop.device_put_batch`` assembles the global array from the
+    per-process blocks. The reference sharded ids in the dataset layer
+    (data/data.py:218-225), which is only safe when ranks may run different
+    shapes (torch DDP); under jit lockstep the plan itself must be shared.
+    """
 
     def __init__(
         self,
@@ -41,6 +54,8 @@ class BucketLoader:
         drop_last: Optional[bool] = None,
         loop: bool = False,
         num_workers: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         self.dataset = dataset
         self.spec = spec
@@ -48,6 +63,8 @@ class BucketLoader:
         self.seed = seed
         self.loop = loop
         self.num_workers = num_workers
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self._pool = None
         if num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
@@ -62,6 +79,16 @@ class BucketLoader:
         )
         self._epoch = 0
 
+    def _fetch(self, idxs, rng):
+        if self._pool is not None:
+            # per-record RNG streams keep results order-independent
+            seeds = [rng.randint(2**31) for _ in idxs]
+            return list(self._pool.map(
+                lambda iv: self.dataset.get_record(
+                    iv[0], np.random.RandomState(iv[1])),
+                zip(idxs, seeds)))
+        return [self.dataset.get_record(i, rng) for i in idxs]
+
     def _iter_once(self) -> Iterator[Dict[str, Any]]:
         rng = np.random.RandomState(
             (self.seed * 1_000_003 + self._epoch) % (2**31))
@@ -75,18 +102,23 @@ class BucketLoader:
                 drop_last=self.sampler.drop_last,
                 rows_per_example=self.sampler.rows_per_example,
             )
+        p, n_shards = self.shard_index, self.shard_count
         for (t_b, r_b), idxs in self.sampler:
-            if self._pool is not None:
-                # per-record RNG streams keep results order-independent
-                seeds = [rng.randint(2**31) for _ in idxs]
-                records = list(self._pool.map(
-                    lambda iv: self.dataset.get_record(
-                        iv[0], np.random.RandomState(iv[1])),
-                    zip(idxs, seeds)))
-            else:
-                records = [self.dataset.get_record(i, rng) for i in idxs]
             bs = self.sampler.batch_size((t_b, r_b))
-            yield self.collate(records, t_b, r_b, bs)
+            if n_shards == 1:
+                yield self.collate(self._fetch(idxs, rng), t_b, r_b, bs)
+                continue
+            # this host's contiguous block of the global batch
+            assert bs % n_shards == 0, (bs, n_shards)
+            local_bs = bs // n_shards
+            my = idxs[p * local_bs:(p + 1) * local_bs]
+            if not my and self.loop:
+                raise ValueError(
+                    f"dataset too small for {n_shards}-process training: "
+                    f"batch of {len(idxs)} examples leaves shard {p} empty")
+            if not my:
+                continue  # eval tail handled by this host's peers
+            yield self.collate(self._fetch(my, rng), t_b, r_b, local_bs)
 
     def __iter__(self):
         if not self.loop:

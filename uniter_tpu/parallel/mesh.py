@@ -57,18 +57,10 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def _fsdp_spec(path_leaf_shape, mesh: Mesh, min_size: int) -> P:
-    shape = path_leaf_shape
-    if int(np.prod(shape)) < min_size:
-        return P()
-    # Shard the largest axis divisible by the data-axis size.
-    n = mesh.shape["data"]
-    axes = sorted(range(len(shape)), key=lambda i: -shape[i])
-    for ax in axes:
-        if shape[ax] % n == 0:
-            spec = [None] * len(shape)
-            spec[ax] = "data"
-            return P(*spec)
-    return P()
+    """FSDP spec for a single leaf: the largest axis divisible by the
+    data-axis size is sharded (small params stay replicated). Thin wrapper
+    over _compose_fsdp so there is exactly one implementation of the rule."""
+    return _compose_fsdp(P(), path_leaf_shape, mesh, min_size)
 
 
 def param_sharding(params: Any, mesh: Mesh,

@@ -72,22 +72,40 @@ TRANSFER_CAST_KEYS = ("img_feat", "img_pos_feat")
 
 
 def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False,
-                     transfer_dtype=None):
+                     transfer_dtype=None, local: bool = True):
     """Shard the batch over the mesh's data axis. Accumulation batches are
     [accum, B, ...]: the *second* axis is the batch axis (sharding axis 0
     would split the scan axis across devices). ``transfer_dtype`` casts the
-    model-cast float inputs (TRANSFER_CAST_KEYS) before transfer."""
+    model-cast float inputs (TRANSFER_CAST_KEYS) before transfer.
+
+    Multi-process: each host supplies its LOCAL block of the global batch
+    (``local=True``, the BucketLoader shard contract) and the global array
+    is assembled via make_array_from_process_local_data; ``local=False``
+    means every host built the identical full global batch (e.g. the
+    hard-negative driver's same-seed candidate batches) and this host's
+    block is sliced out first."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     bsh = (NamedSharding(mesh, P(None, "data")) if accum
            else batch_sharding(mesh))
+    multi = jax.process_count() > 1
+    axis = 1 if accum else 0
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
             if (transfer_dtype is not None and k in TRANSFER_CAST_KEYS
                     and v.dtype == np.float32):
                 v = v.astype(transfer_dtype)
-            out[k] = jax.device_put(v, bsh)
+            if multi:
+                if not local:
+                    p, n = jax.process_index(), jax.process_count()
+                    blk = v.shape[axis] // n
+                    sl = [slice(None)] * v.ndim
+                    sl[axis] = slice(p * blk, (p + 1) * blk)
+                    v = v[tuple(sl)]
+                out[k] = jax.make_array_from_process_local_data(bsh, v)
+            else:
+                out[k] = jax.device_put(v, bsh)
         else:
             out[k] = v  # host-side metadata (qids etc.) stays put
     return out
@@ -173,6 +191,12 @@ class TrainLoop:
         self.prefetch = prefetch
         self.transfer_dtype = transfer_dtype
         self.k = steps_per_call
+        if self.k > 1 and num_train_steps % self.k:
+            LOGGER.warning(
+                "steps_per_call=%d does not divide num_train_steps=%d: the "
+                "run stops at step %d (use k=1 for exact-step parity)",
+                self.k, num_train_steps,
+                ((num_train_steps + self.k - 1) // self.k) * self.k)
         if self.accum > 1 or self.k > 1:
             from uniter_tpu.data.loader import AccumLoader
 
@@ -250,7 +274,9 @@ class TrainLoop:
             global_step += self.k  # == int(state.step) without a device sync
             if (self.profile_dir is not None and profiling
                     and global_step > self.profile_steps[1]):
-                jax.block_until_ready(metrics["loss"])
+                # host readback: block_until_ready does not fence on the
+                # remote TPU relay (CLAUDE.md)
+                _ = np.asarray(metrics["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
                 self.profile_dir = None
@@ -411,7 +437,7 @@ class MixedTaskLoop:
             pending.append((global_step, name, metrics["loss"]))
             if (self.profile_dir is not None and self._profiling
                     and global_step > self.profile_steps[1]):
-                jax.block_until_ready(metrics["loss"])
+                _ = np.asarray(metrics["loss"])  # host readback fence
                 jax.profiler.stop_trace()
                 self._profiling = False
                 self.profile_dir = None
