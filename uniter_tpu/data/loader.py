@@ -129,6 +129,19 @@ class BucketLoader:
     def __len__(self):
         return len(self.sampler)
 
+    def example_batches(self):
+        """One collated batch per bucket shape (for ahead-of-time compile
+        warmup: every (T, R) bucket is a distinct XLA program)."""
+        rng = np.random.RandomState(self.seed)
+        out = []
+        for bucket, idxs in self.sampler.buckets.items():
+            bs = self.sampler.batch_size(bucket)
+            if self.shard_count > 1:
+                bs //= self.shard_count
+            rec = self.dataset.get_record(idxs[0], rng)
+            out.append(self.collate([rec], bucket[0], bucket[1], bs))
+        return out
+
 
 class AccumLoader:
     """Group ``accum`` same-shape batches into one stacked [accum, ...]

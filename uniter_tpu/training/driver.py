@@ -71,6 +71,9 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-3: shard params + optimizer moments over "
                              "the data axis (for uniter-large scale)")
+    parser.add_argument("--warmup_compile", action="store_true",
+                        help="compile every bucket's program before step 1 "
+                             "(avoids mid-training XLA-compile stalls)")
     return parser
 
 
@@ -167,6 +170,15 @@ def model_config_from_opts(opts, **overrides) -> UniterConfig:
 def setup_run(opts, model_cfg) -> tuple:
     set_random_seed(opts.seed)
     os.makedirs(opts.output_dir, exist_ok=True)
+    # persistent XLA compile cache: bucket programs survive across runs
+    # (first compiles via remote-compile services take minutes)
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/uniter_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     mesh = make_mesh(MeshConfig(data=-1))
     save_training_meta(opts.output_dir, opts, model_cfg.to_dict())
     TB_LOGGER.create(os.path.join(opts.output_dir, "log"))
@@ -221,6 +233,10 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
     # bf16 on the wire: the model casts img features to its compute dtype
     # anyway, so transferring them pre-cast halves host->device bytes
     cdt = model.config.compute_dtype
+    warmup = None
+    if getattr(opts, "warmup_compile", False) and hasattr(
+            train_loader, "example_batches"):
+        warmup = train_loader.example_batches()
     loop = TrainLoop(
         loss_fn=loss_fn, state=state, train_loader=train_loader, mesh=mesh,
         num_train_steps=opts.num_train_steps,
@@ -230,7 +246,8 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         validate_fn=validate_fn, saver=saver,
         seed=opts.seed, profile_dir=getattr(opts, "profile_dir", None),
         transfer_dtype=None if cdt == jnp.float32 else cdt,
-        steps_per_call=getattr(opts, "steps_per_call", 1))
+        steps_per_call=getattr(opts, "steps_per_call", 1),
+        warmup_batches=warmup)
     state = loop.run()
     LOGGER.info("training finished at step %d", int(state.step))
     return state

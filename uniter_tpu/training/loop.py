@@ -174,6 +174,7 @@ class TrainLoop:
         prefetch: int = 2,
         transfer_dtype=None,
         steps_per_call: int = 1,
+        warmup_batches=None,
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -204,14 +205,43 @@ class TrainLoop:
             # [k, B, ...] array batch
             self.train_loader = AccumLoader(train_loader,
                                             max(self.accum, self.k))
+        self.warmup_batches = warmup_batches
         self.step_fn = make_train_step(
             loss_fn, mesh=mesh, loss_scale=loss_scale,
             accum_steps=self.accum, steps_per_call=self.k)
+
+    def _warmup(self, state):
+        """Compile every bucket's program up front: on TPU a new (T, R)
+        bucket appearing mid-training stalls the run for a full XLA compile
+        (minutes through remote-compile services). Runs one throwaway step
+        per bucket shape against a copied state (populating the jit cache)."""
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        for hb in self.warmup_batches:
+            jb = jnp_batch(hb)
+            if self.accum > 1 or self.k > 1:
+                n = max(self.accum, self.k)
+                jb = {k: np.broadcast_to(v, (n,) + v.shape)
+                      for k, v in jb.items()}
+            jb = (device_put_batch(jb, self.mesh,
+                                   accum=self.accum > 1 or self.k > 1,
+                                   transfer_dtype=self.transfer_dtype)
+                  if self.mesh is not None
+                  else {k: jnp.asarray(v) for k, v in jb.items()})
+            state_copy = jax.tree.map(jnp.array, state)
+            out_state, m = self.step_fn(state_copy, jb, self.rng)
+            del out_state, m
+        LOGGER.info("warmed up %d bucket programs in %.1fs",
+                    len(self.warmup_batches), time.time() - t0)
 
     def run(self):
         state = self.state
         meter = RunningMeter("loss")
         guard = NanGuard()
+        if self.warmup_batches:
+            self._warmup(state)
+            self.warmup_batches = None
         start_step = int(state.step)
         if start_step > 0:
             LOGGER.info("resuming from step %d", start_step)
