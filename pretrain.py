@@ -117,11 +117,14 @@ def validate(model, params, val_loaders, pred_cache=None):
     per-feature loss, MRC(-kl) acc, ITM acc. ``pred_cache`` persists the
     jitted predictors across validation rounds (a fresh lambda per call
     would recompile every time)."""
+    import time
+
     logs = {}
     pred_cache = {} if pred_cache is None else pred_cache
     for name, loader in val_loaders.items():
         task = name.split("_")[0]
         n_correct, n_word, loss_sum = 0, 0, 0.0
+        t0 = time.time()
         if task not in pred_cache:
             if task.startswith("itm"):
                 pred_cache[task] = jax.jit(
@@ -177,6 +180,10 @@ def validate(model, params, val_loaders, pred_cache=None):
             logs[f"{name}_loss"] = loss_sum / max(n_word, 1)
         else:
             logs[f"{name}_acc"] = n_correct / max(n_word, 1)
+        # reference validate_* log tok_per_s / feat_per_s
+        # (pretrain.py:380-388, 411-413, 441-443)
+        unit = "feat" if task.startswith("mr") else "tok"
+        logs[f"{name}_{unit}_per_s"] = n_word / max(time.time() - t0, 1e-9)
     return logs
 
 
