@@ -209,8 +209,7 @@ def main(opts):
     tx = build_optimizer(
         params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
                                 opts.num_train_steps),
-        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
-        grad_norm=opts.grad_norm, optim=opts.optim)
+        **driver.optim_kwargs(opts))
     from uniter_tpu.training.loop import place_state
 
     state = place_state(TrainState.create(params, tx), mesh)

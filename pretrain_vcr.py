@@ -118,8 +118,7 @@ def main(opts):
     tx = build_optimizer(
         params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
                                 opts.num_train_steps),
-        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
-        grad_norm=opts.grad_norm, optim=opts.optim)
+        **driver.optim_kwargs(opts))
     state = place_state(TrainState.create(params, tx), mesh)
     saver = TrainStateSaver(opts.output_dir)
     restored = saver.restore(state)

@@ -159,3 +159,62 @@ def test_fused_qkv_bit_exact_and_checkpoint_compatible():
     o1 = np.asarray(m1.apply({"params": params}, batch, False))
     o2 = np.asarray(m2.apply({"params": params}, batch, False))
     np.testing.assert_array_equal(o1, o2)
+
+
+def test_u16_dropout_statistics_and_determinism():
+    """ops/dropout.py u16 path: correct keep rate, exact mean preservation
+    scaling, replayable under the same key, and traffic-shape sanity."""
+    import jax
+    import jax.numpy as jnp
+    from uniter_tpu.ops.dropout import dropout
+
+    rng = jax.random.PRNGKey(7)
+    x = jnp.ones((512, 768), jnp.float32)
+    y = dropout(x, 0.1, rng, impl="u16")
+    y2 = dropout(x, 0.1, rng, impl="u16")
+    assert np.array_equal(np.asarray(y), np.asarray(y2))
+    kept = float(np.mean(np.asarray(y) > 0))
+    thr = round(0.1 * 65536)
+    keep_q = 1 - thr / 65536
+    assert abs(kept - keep_q) < 5e-3, kept
+    # kept values are scaled by exactly 1/keep_q
+    vals = np.asarray(y)[np.asarray(y) > 0]
+    np.testing.assert_allclose(vals, 1.0 / keep_q, rtol=1e-6)
+    # deterministic path is the identity
+    assert dropout(x, 0.1, None, impl="u16", deterministic=True) is x
+
+
+def test_dropout_impl_u16_trains(tiny_model_batch=None):
+    """Encoder forward with dropout_impl=u16 runs and differs from the
+    deterministic forward (masks actually applied)."""
+    import jax
+    import jax.numpy as jnp
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.models.encoder import UniterModel
+
+    cfg = tiny_config(dropout_impl="u16")
+    model = UniterModel(cfg, img_dim=16)
+    B, T, R = 4, 8, 4
+    r = np.random.RandomState(0)
+    batch = dict(
+        input_ids=jnp.asarray(r.randint(1, 500, (B, T)), jnp.int32),
+        position_ids=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)),
+        img_feat=jnp.asarray(r.randn(B, R, 16), jnp.float32),
+        img_pos_feat=jnp.asarray(r.rand(B, R, 7), jnp.float32),
+        attn_mask=jnp.ones((B, T + R), jnp.int32),
+    )
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        batch["input_ids"], batch["position_ids"],
+                        batch["img_feat"], batch["img_pos_feat"],
+                        batch["attn_mask"])["params"]
+    det = model.apply({"params": params}, batch["input_ids"],
+                      batch["position_ids"], batch["img_feat"],
+                      batch["img_pos_feat"], batch["attn_mask"],
+                      deterministic=True)
+    stoch = model.apply({"params": params}, batch["input_ids"],
+                        batch["position_ids"], batch["img_feat"],
+                        batch["img_pos_feat"], batch["attn_mask"],
+                        deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.isfinite(np.asarray(stoch)).all()
+    assert not np.allclose(np.asarray(det), np.asarray(stoch))

@@ -16,7 +16,8 @@ def interpret_mode(monkeypatch):
     monkeypatch.setenv("UNITER_PALLAS_INTERPRET", "1")
 
 
-def test_attention_kernel_interpret():
+@pytest.mark.parametrize("impl", ["pallas", "pallas_nt"])
+def test_attention_kernel_interpret(impl):
     from uniter_tpu.ops.attention import multi_head_attention
 
     B, S, H, D = 2, 16, 4, 8
@@ -25,12 +26,12 @@ def test_attention_kernel_interpret():
     k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
     v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
     bias = jnp.zeros((B, S), jnp.float32).at[:, 12:].set(-10000.0)
-    out_p = np.asarray(multi_head_attention(q, k, v, bias, impl="pallas"))
+    out_p = np.asarray(multi_head_attention(q, k, v, bias, impl=impl))
     out_x = np.asarray(multi_head_attention(q, k, v, bias, impl="xla"))
     np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
 
     gp = jax.grad(lambda q, k, v: jnp.sum(
-        multi_head_attention(q, k, v, bias, impl="pallas") ** 2),
+        multi_head_attention(q, k, v, bias, impl=impl) ** 2),
         argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(lambda q, k, v: jnp.sum(
         multi_head_attention(q, k, v, bias, impl="xla") ** 2),

@@ -143,9 +143,14 @@ def test_grad_accumulation():
     assert max(jax.tree.leaves(diffs)) < 1e-6
 
 
-def test_resume_matches_continuous(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_resume_matches_continuous(tmp_path, fused):
     """save at step 2, restore, run to 4 == run 4 straight (exact resume,
-    which the reference lacked — utils/save.py:70-73 TODO)."""
+    which the reference lacked — utils/save.py:70-73 TODO). Covers both the
+    optax chain and the fused AdamW state (bf16 moments) through Orbax."""
     from uniter_tpu.utils.save import TrainStateSaver
 
     cfg = tiny_config(type_vocab_size=3)
@@ -160,7 +165,9 @@ def test_resume_matches_continuous(tmp_path):
 
     def fresh_state():
         tx = build_optimizer(params, get_lr_schedule(1e-3, 2, 100),
-                             grad_norm=2.0, weight_decay=0.01)
+                             grad_norm=2.0, weight_decay=0.01, fused=fused,
+                             mu_dtype=jnp.bfloat16 if fused else None,
+                             nu_dtype=jnp.bfloat16 if fused else None)
         return TrainState.create(params, tx)
 
     step = make_train_step(loss_fn, donate=False)
@@ -332,3 +339,66 @@ def test_steps_per_call_matches_single_step():
     diffs = jax.tree.leaves(jax.tree.map(
         lambda x, y: float(np.max(np.abs(x - y))), a, b))
     assert max(diffs) == 0.0, max(diffs)
+
+
+def test_fused_adamw_matches_optax_chain():
+    """fused_adamw (one-pass TPU optimizer) is leaf-exact vs the optax
+    chain clip->adamw->masked(lr_mul) at fp32 moments."""
+    rng = np.random.RandomState(3)
+    params = {
+        "uniter": {
+            "q": {"kernel": jnp.asarray(rng.randn(8, 8), jnp.float32),
+                  "bias": jnp.asarray(rng.randn(8), jnp.float32)},
+            "LayerNorm": {"weight": jnp.ones(8), "bias": jnp.zeros(8)},
+        },
+        "vqa_output": {"kernel": jnp.asarray(rng.randn(8, 4), jnp.float32)},
+    }
+    sched = get_lr_schedule(1e-3, 3, 20)
+    kw = dict(betas=(0.9, 0.98), weight_decay=0.01, grad_norm=2.0,
+              lr_mul=10.0, lr_mul_paths=("vqa_output",))
+    tx_ref = build_optimizer(params, sched, **kw)
+    tx_fused = build_optimizer(params, sched, fused=True, **kw)
+    s_ref, s_fused = tx_ref.init(params), tx_fused.init(params)
+    p_ref = jax.tree.map(jnp.array, params)
+    p_fused = jax.tree.map(jnp.array, params)
+    import optax
+
+    for i in range(6):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.randn(*p.shape) * (40.0 if i % 3 == 0 else 0.3),
+                jnp.float32),
+            params)
+        u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        u_fused, s_fused = tx_fused.update(grads, s_fused, p_fused)
+        p_fused = optax.apply_updates(p_fused, u_fused)
+        np.testing.assert_allclose(
+            float(s_fused.gnorm), float(optax.global_norm(grads)), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_adamw_bf16_moments_track_fp32():
+    """bf16 moment storage stays within bf16 rounding of the fp32 run."""
+    params = {"w": jnp.ones((64, 64), jnp.float32)}
+    tx32 = build_optimizer(params, 1e-3, fused=True, grad_norm=-1)
+    tx16 = build_optimizer(params, 1e-3, fused=True, grad_norm=-1,
+                           mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16)
+    s32, s16 = tx32.init(params), tx16.init(params)
+    assert s16.mu["w"].dtype == jnp.bfloat16
+    assert s16.nu["w"].dtype == jnp.bfloat16
+    p32 = dict(params)
+    p16 = dict(params)
+    import optax
+
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        g = {"w": jnp.asarray(rng.randn(64, 64), jnp.float32)}
+        u, s32 = tx32.update(g, s32, p32)
+        p32 = optax.apply_updates(p32, u)
+        u, s16 = tx16.update(g, s16, p16)
+        p16 = optax.apply_updates(p16, u)
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               rtol=2e-2, atol=2e-5)

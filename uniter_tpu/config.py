@@ -48,6 +48,10 @@ class UniterConfig:
     # LayerNorm implementation: "pallas" or "xla". eps is pinned at 1e-12 to
     # match apex FusedLayerNorm usage (reference model/model.py:229).
     layer_norm_impl: str = "xla"
+    # Dropout mask implementation: "xla" (flax-compatible bernoulli) or
+    # "u16" (16-bit thresholds, half the random-bit HBM traffic;
+    # ops/dropout.py).
+    dropout_impl: str = "xla"
     layer_norm_eps: float = 1e-12
     # Fuse the Q/K/V projections into one [H, 3H] GEMM at apply time (param
     # layout stays query/key/value, so checkpoints are unaffected).

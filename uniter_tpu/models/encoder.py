@@ -31,10 +31,28 @@ import jax.numpy as jnp
 from uniter_tpu.config import UniterConfig
 from uniter_tpu.ops.activations import ACT2FN
 from uniter_tpu.ops.attention import multi_head_attention
+from uniter_tpu.ops.dropout import dropout as dropout_op
 from uniter_tpu.ops.ffn import ffn
 from uniter_tpu.ops.layer_norm import layer_norm
 
 MASK_VALUE = -10000.0  # additive padding bias, reference model/model.py:345
+
+
+class Drop(nn.Module):
+    """Config-policied dropout (``config.dropout_impl``: "xla" keeps flax
+    nn.Dropout semantics; "u16" halves the random-bit HBM traffic —
+    ops/dropout.py)."""
+
+    config: UniterConfig
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        skip = deterministic or self.rate == 0.0
+        rng = None if skip else self.make_rng("dropout")
+        return dropout_op(x, self.rate, rng,
+                          impl=self.config.dropout_impl,
+                          deterministic=skip)
 
 
 def _dense_init(config: UniterConfig):
@@ -135,7 +153,7 @@ class UniterTextEmbeddings(nn.Module):
             cfg, cfg.type_vocab_size, name="token_type_embeddings"
         )
         self.LayerNorm = LayerNorm(cfg, name="LayerNorm")
-        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.dropout = Drop(cfg, cfg.hidden_dropout_prob)
 
     def __call__(self, input_ids, position_ids, token_type_ids=None, *,
                  deterministic: bool = True):
@@ -172,7 +190,7 @@ class UniterImageEmbeddings(nn.Module):
             "mask_embedding", _dense_init(cfg), (2, self.img_dim), jnp.float32
         )
         self.LayerNorm = LayerNorm(cfg, name="LayerNorm")
-        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.dropout = Drop(cfg, cfg.hidden_dropout_prob)
 
     def __call__(self, img_feat, img_pos_feat, type_embeddings, img_masks=None, *,
                  deterministic: bool = True):
@@ -240,7 +258,7 @@ class BertAttention(nn.Module):
             impl=cfg.attention_impl,
         ).reshape(b, s, cfg.hidden_size)
         out = Dense(cfg, cfg.hidden_size, name="output_dense")(ctx)
-        out = nn.Dropout(cfg.hidden_dropout_prob)(
+        out = Drop(cfg, cfg.hidden_dropout_prob)(
             out, deterministic=self.deterministic
         )
         return LayerNorm(cfg, name="output_LayerNorm")(out + hidden)
@@ -273,7 +291,7 @@ class BertLayer(nn.Module):
         else:
             inter = ACT2FN[cfg.hidden_act](inter_mod(attn_out))
             out = out_mod(inter)
-        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=self.deterministic)
+        out = Drop(cfg, cfg.hidden_dropout_prob)(out, deterministic=self.deterministic)
         out = LayerNorm(cfg, name="output_LayerNorm")(out + attn_out)
         return out
 

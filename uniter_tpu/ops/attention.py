@@ -63,12 +63,12 @@ def _mha_xla(q, k, v, bias, dropout_rate=0.0, dropout_rng=None):
 # ---------------------------------------------------------------------------
 
 
-def _attn_probs(q_ref, k_ref, bias_ref, *, sm_scale):
+def _attn_probs(q_ref, k_ref, bias_ref, *, sm_scale, native=False):
     """Head-batched scores: one MXU batched-matmul per batch element
     (grid is (B,); heads ride the dot_general batch dim so Mosaic pipelines
     them instead of paying per-(b,h) grid overhead)."""
-    q = q_ref[0]  # [H, S, D]
-    k = k_ref[0]
+    q = _ld(q_ref, native)  # [H, S, D]
+    k = _ld(k_ref, native)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -90,35 +90,53 @@ def _dropout_bits(seed_ref, rate, shape):
     return pltpu.bitcast(bits, jnp.uint32) >= threshold  # keep-mask
 
 
-def _mha_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale, rate):
-    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)  # [H, S, S]
+def _ld(ref, native):
+    """Load a head-chunk block as [hc, S, D]. In native layout the HBM array
+    is [B, S, H, D] (the projections' own layout — no HBM transpose kernels
+    around the pallas call) and the block arrives [S, hc, D]; the swap to
+    head-major happens here, in VMEM."""
+    x = ref[0]
+    return jnp.swapaxes(x, 0, 1) if native else x
+
+
+def _st(ref, x, native):
+    """Store a [hc, S, D] result back through the block's layout."""
+    ref[0] = jnp.swapaxes(x, 0, 1) if native else x
+
+
+def _mha_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                    sm_scale, rate, native=False):
+    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale, native=native)
     if rate > 0.0:
         keep = _dropout_bits(seed_ref, rate, p.shape)
         p = jnp.where(keep, p / (1.0 - rate), 0.0)
-    o_ref[0] = jax.lax.dot_general(
+    out = jax.lax.dot_general(
         p.astype(v_ref.dtype),
-        v_ref[0],
+        _ld(v_ref, native),
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+    _st(o_ref, out, native)
 
 
 def _mha_bwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref, *, sm_scale, rate
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+    sm_scale, rate, native=False
 ):
-    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale)  # [H,S,S] fp32
-    g = g_ref[0].astype(jnp.float32)  # [H, S, D]
-    v = v_ref[0].astype(jnp.float32)
+    p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale, native=native)
+    g = _ld(g_ref, native).astype(jnp.float32)  # [H, S, D]
+    v = _ld(v_ref, native).astype(jnp.float32)
     if rate > 0.0:
         keep = _dropout_bits(seed_ref, rate, p.shape)
         pd = jnp.where(keep, p / (1.0 - rate), 0.0)
     else:
         keep = None
         pd = p
-    dv_ref[0] = jax.lax.dot_general(
+    dv = jax.lax.dot_general(
         pd, g, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
+    _st(dv_ref, dv, native)
     dp = jax.lax.dot_general(
         g, v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -127,14 +145,16 @@ def _mha_bwd_kernel(
         dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax bwd
     ds = ds * sm_scale
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k_ref[0].astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+    dq = jax.lax.dot_general(
+        ds, _ld(k_ref, native).astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(
-        ds, q_ref[0].astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+    _st(dq_ref, dq, native)
+    dk = jax.lax.dot_general(
+        ds, _ld(q_ref, native).astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
+    _st(dk_ref, dk, native)
 
 
 def _head_chunk(h, s, d, n_bufs):
@@ -157,6 +177,14 @@ def _bhsd_spec(hc, s, d):
     )
 
 
+def _bshd_spec(hc, s, d):
+    # native layout: the HBM array keeps the projections' [B, S, H, D]
+    # shape; the head axis is still the grid's chunk axis.
+    return pl.BlockSpec(
+        (1, s, hc, d), lambda b, j, *_: (b, 0, j, 0), memory_space=pltpu.VMEM
+    )
+
+
 def _bias_spec(s):
     # bias arrives as [B, 1, S]; a (1, 1, S) block satisfies the TPU tiling
     # rule (trailing block dims equal to the array dims).
@@ -165,63 +193,73 @@ def _bias_spec(s):
     )
 
 
-def _mha_pallas_raw(q, k, v, bias, seed, rate):
-    """q,k,v: [B, H, S, D]; bias: [B, S]; seed: int32[1]."""
-    b, h, s, d = q.shape
+def _mha_pallas_raw(q, k, v, bias, seed, rate, native=False):
+    """q,k,v: [B, H, S, D] (or [B, S, H, D] when native); bias: [B, S]."""
+    if native:
+        b, s, h, d = q.shape
+        spec = _bshd_spec
+    else:
+        b, h, s, d = q.shape
+        spec = _bhsd_spec
     bias = bias.reshape(b, 1, s)
     # chunk size must MATCH the backward pass so dropout streams replay
     hc = _head_chunk(h, s, d, n_bufs=7)
     kernel = functools.partial(
-        _mha_fwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate
+        _mha_fwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate, native=native
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, h // hc),
-        in_specs=[_bhsd_spec(hc, s, d)] * 3 + [_bias_spec(s)],
-        out_specs=_bhsd_spec(hc, s, d),
+        in_specs=[spec(hc, s, d)] * 3 + [_bias_spec(s)],
+        out_specs=spec(hc, s, d),
     )
     return pl.pallas_call(
         kernel,
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=grid_spec,
     )(seed, q, k, v, bias)
 
 
-def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g):
-    b, h, s, d = q.shape
+def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native=False):
+    if native:
+        b, s, h, d = q.shape
+        spec = _bshd_spec
+    else:
+        b, h, s, d = q.shape
+        spec = _bhsd_spec
     bias = bias.reshape(b, 1, s)
     hc = _head_chunk(h, s, d, n_bufs=7)
     kernel = functools.partial(
-        _mha_bwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate
+        _mha_bwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate, native=native
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, h // hc),
-        in_specs=[_bhsd_spec(hc, s, d)] * 3 + [_bias_spec(s),
-                                               _bhsd_spec(hc, s, d)],
-        out_specs=[_bhsd_spec(hc, s, d)] * 3,
+        in_specs=[spec(hc, s, d)] * 3 + [_bias_spec(s), spec(hc, s, d)],
+        out_specs=[spec(hc, s, d)] * 3,
     )
     return pl.pallas_call(
         kernel,
         interpret=_interpret(),
-        out_shape=[jax.ShapeDtypeStruct((b, h, s, d), q.dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         grid_spec=grid_spec,
     )(seed, q, k, v, bias, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _mha_pallas(q, k, v, bias, seed, rate):
-    return _mha_pallas_raw(q, k, v, bias, seed, rate)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mha_pallas(q, k, v, bias, seed, rate, native=False):
+    return _mha_pallas_raw(q, k, v, bias, seed, rate, native)
 
 
-def _mha_pallas_fwd(q, k, v, bias, seed, rate):
-    return _mha_pallas_raw(q, k, v, bias, seed, rate), (q, k, v, bias, seed)
+def _mha_pallas_fwd(q, k, v, bias, seed, rate, native=False):
+    return (_mha_pallas_raw(q, k, v, bias, seed, rate, native),
+            (q, k, v, bias, seed))
 
 
-def _mha_pallas_bwd(rate, res, g):
+def _mha_pallas_bwd(rate, native, res, g):
     q, k, v, bias, seed = res
-    dq, dk, dv = _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g)
+    dq, dk, dv = _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native)
     return dq, dk, dv, None, None
 
 
@@ -247,7 +285,7 @@ def multi_head_attention(
 
     Returns [B, S, H, D].
     """
-    if impl == "pallas" and pltpu is not None:
+    if impl in ("pallas", "pallas_nt") and pltpu is not None:
         rate = float(dropout_rate) if dropout_rng is not None else 0.0
         if rate > 0.0:
             seed = jax.random.randint(
@@ -255,9 +293,19 @@ def multi_head_attention(
             )
         else:
             seed = jnp.zeros((1,), jnp.int32)
+        if impl == "pallas_nt":
+            # experimental native layout: q/k/v stay [B, S, H, D] and the
+            # head-major swap happens in VMEM inside the kernel. MEASURED
+            # MUCH SLOWER on v5e (1180 vs 1638 ex/s full-step): Mosaic's
+            # sublane swap of [S, hc, D] blocks costs far more than the HBM
+            # transpose kernels it replaces (which XLA largely fuses).
+            # Kept as a documented negative result; do not default.
+            return _mha_pallas(q, k, v, bias.astype(jnp.float32), seed, rate,
+                               True)
         qt = jnp.transpose(q, (0, 2, 1, 3))
         kt = jnp.transpose(k, (0, 2, 1, 3))
         vt = jnp.transpose(v, (0, 2, 1, 3))
-        out = _mha_pallas(qt, kt, vt, bias.astype(jnp.float32), seed, rate)
+        out = _mha_pallas(qt, kt, vt, bias.astype(jnp.float32), seed, rate,
+                          False)
         return jnp.transpose(out, (0, 2, 1, 3))
     return _mha_xla(q, k, v, bias, dropout_rate, dropout_rng)

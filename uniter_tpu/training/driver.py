@@ -53,6 +53,18 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--log_steps", type=int, default=100)
     parser.add_argument("--num_train_steps", type=int, default=8000)
     parser.add_argument("--optim", default="adamw")
+    parser.add_argument("--fused_adamw", type=int, default=1,
+                        help="one-pass fused AdamW kernel (leaf-exact vs the "
+                             "optax chain; reads/writes each moment once)")
+    parser.add_argument("--moment_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype for BOTH Adam moments (bfloat16 "
+                             "halves optimizer HBM traffic; fp32 arithmetic "
+                             "either way; requires --fused_adamw)")
+    parser.add_argument("--dropout_impl", default="xla",
+                        choices=["xla", "u16"],
+                        help="u16: half-traffic 16-bit dropout masks "
+                             "(keep-rate quantized to 1/65536)")
     parser.add_argument("--betas", nargs=2, type=float, default=[0.9, 0.98])
     parser.add_argument("--dropout", type=float, default=0.1)
     parser.add_argument("--weight_decay", type=float, default=0.01)
@@ -75,6 +87,17 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="compile every bucket's program before step 1 "
                              "(avoids mid-training XLA-compile stalls)")
     return parser
+
+
+def optim_kwargs(opts) -> dict:
+    """Shared optimizer options (drivers pass these to build_optimizer)."""
+    md = getattr(opts, "moment_dtype", "float32")
+    md = jnp.bfloat16 if md == "bfloat16" else None
+    return dict(
+        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
+        grad_norm=opts.grad_norm, optim=opts.optim,
+        fused=bool(getattr(opts, "fused_adamw", 0)),
+        mu_dtype=md, nu_dtype=md)
 
 
 def make_init_batch(b=8, t=16, r=8, img_dim=None, **extras):
@@ -151,7 +174,8 @@ def load_trunk_checkpoint(params, opts, model_cfg, *,
 def model_config_from_opts(opts, **overrides) -> UniterConfig:
     cfg = UniterConfig.from_json_file(
         opts.model_config, dtype=opts.dtype,
-        attention_impl=opts.attention_impl, **overrides)
+        attention_impl=opts.attention_impl,
+        dropout_impl=getattr(opts, "dropout_impl", "xla"), **overrides)
     # --dropout overrides both dropout rates (reference utils/misc.py:57-63
     # set_dropout applied by every driver)
     drop = getattr(opts, "dropout", None)
@@ -220,9 +244,8 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         params,
         get_lr_schedule(opts.learning_rate, opts.warmup_steps,
                         opts.num_train_steps),
-        betas=tuple(opts.betas), weight_decay=opts.weight_decay,
-        grad_norm=opts.grad_norm, optim=opts.optim,
-        lr_mul=getattr(opts, "lr_mul", 1.0), lr_mul_paths=lr_mul_paths)
+        lr_mul=getattr(opts, "lr_mul", 1.0), lr_mul_paths=lr_mul_paths,
+        **optim_kwargs(opts))
     state = place_state(TrainState.create(params, tx), mesh,
                         fsdp=getattr(opts, "fsdp", False))
     saver = TrainStateSaver(opts.output_dir)

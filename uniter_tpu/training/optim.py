@@ -12,9 +12,10 @@ which is mathematically identical to a separate param group with
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -52,6 +53,103 @@ def head_mask(params, head_paths: Sequence[str]):
     return jax.tree_util.tree_map_with_path(f, params)
 
 
+class FusedAdamWState(NamedTuple):
+    """State of :func:`fused_adamw`.
+
+    ``gnorm`` is the pre-clip global gradient norm of the *last* update —
+    drivers log it without a second full pass over the gradients.
+    """
+
+    count: jax.Array
+    mu: Any
+    nu: Any
+    gnorm: jax.Array
+
+
+def fused_adamw(
+    learning_rate: Callable | float,
+    *,
+    b1: float = 0.9,
+    b2: float = 0.98,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    decay_mask_tree=None,
+    grad_norm: float = 0.0,
+    lr_mul: float = 1.0,
+    lr_mul_tree=None,
+    mu_dtype=None,
+    nu_dtype=None,
+) -> optax.GradientTransformation:
+    """One-pass AdamW: clip + moments + bias correction + decoupled decay +
+    schedule + head-lr multipliers computed in a single per-leaf kernel.
+
+    Mathematically identical to the optax chain built by
+    :func:`build_optimizer` (unit-tested leaf-exact); the fusion matters on
+    TPU because the optimizer step is HBM-bound — every extra elementwise
+    pass over 110M params re-reads/rewrites ~440MB. This formulation reads
+    (g, mu, nu, p) once and writes (mu, nu, update) once, and optionally
+    stores the moments in bfloat16 (`mu_dtype`/`nu_dtype`) to cut the traffic
+    further; moment *arithmetic* is always fp32 (the EMA update is computed
+    in fp32 and rounded once on store).
+    """
+    lr_fn = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
+
+    def init(params):
+        def zeros_like(dt):
+            return lambda p: jnp.zeros(p.shape, dtype=dt or p.dtype)
+
+        return FusedAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(zeros_like(mu_dtype), params),
+            nu=jax.tree.map(zeros_like(nu_dtype), params),
+            gnorm=jnp.zeros((), jnp.float32),
+        )
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("fused_adamw requires params")
+        gnorm = optax.global_norm(grads)
+        if grad_norm and grad_norm > 0:
+            # optax.clip_by_global_norm: g * clip / max(norm, clip)
+            clip = jnp.minimum(
+                1.0, grad_norm / jnp.maximum(gnorm, grad_norm))
+        else:
+            clip = jnp.ones((), jnp.float32)
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** cf
+        bc2 = 1.0 - b2 ** cf
+        # optax.scale_by_learning_rate steps its own counter starting at 0
+        lr = jnp.asarray(lr_fn(state.count), jnp.float32)
+
+        def leaf(g, mu, nu, p, decay, mul):
+            g = g.astype(jnp.float32) * clip
+            mu32 = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g
+            nu32 = b2 * nu.astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
+            u = (mu32 / bc1) / (jnp.sqrt(nu32 / bc2) + eps)
+            if decay:
+                u = u + weight_decay * p.astype(jnp.float32)
+            step = (-lr * mul) * u
+            return step.astype(p.dtype), mu32.astype(mu.dtype), nu32.astype(nu.dtype)
+
+        decay_leaves = (decay_mask_tree if decay_mask_tree is not None
+                        else jax.tree.map(lambda _: True, grads))
+        mul_leaves = jax.tree.map(
+            lambda m: lr_mul if m else 1.0,
+            lr_mul_tree if lr_mul_tree is not None
+            else jax.tree.map(lambda _: False, grads))
+        out = jax.tree.map(leaf, grads, state.mu, state.nu, params,
+                           decay_leaves, mul_leaves)
+        treedef = jax.tree.structure(grads)
+        flat = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
+        updates = jax.tree.unflatten(treedef, [t[0] for t in flat])
+        mu = jax.tree.unflatten(treedef, [t[1] for t in flat])
+        nu = jax.tree.unflatten(treedef, [t[2] for t in flat])
+        return updates, FusedAdamWState(count=count, mu=mu, nu=nu, gnorm=gnorm)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     params,
     learning_rate: Callable | float,
@@ -64,14 +162,25 @@ def build_optimizer(
     lr_mul_paths: Sequence[str] = (),
     optim: str = "adamw",
     mu_dtype=None,
+    nu_dtype=None,
+    fused: bool = False,
 ) -> optax.GradientTransformation:
     """Mirror of reference build_optimizer + driver-side clip/lr logic.
 
-    ``mu_dtype``: storage dtype for the first moment (e.g. "bfloat16" to
-    halve its HBM traffic; the optimizer step is HBM-bound on TPU). Second
-    moments stay fp32 (they hold squared grads; bf16's 8 mantissa bits are
-    not enough there).
+    ``mu_dtype``/``nu_dtype``: storage dtype for the moments (e.g.
+    "bfloat16" to halve their HBM traffic; the optimizer step is HBM-bound
+    on TPU). ``fused=True`` uses :func:`fused_adamw` — one fused per-leaf
+    kernel, leaf-exact vs the optax chain at fp32 moments.
     """
+    if fused and optim == "adamw":
+        return fused_adamw(
+            learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+            weight_decay=weight_decay, decay_mask_tree=decay_mask(params),
+            grad_norm=grad_norm or 0.0, lr_mul=lr_mul,
+            lr_mul_tree=(head_mask(params, lr_mul_paths)
+                         if lr_mul != 1.0 and lr_mul_paths else None),
+            mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+        )
     if optim == "adamw":
         core = optax.adamw(
             learning_rate, b1=betas[0], b2=betas[1], eps=eps,

@@ -83,6 +83,12 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(scaled_loss, has_aux=True)
 
+    def _grad_norm(state: TrainState, grads):
+        # fused_adamw already computed the pre-clip global norm inside its
+        # update — reuse it instead of a second full pass over the grads
+        gn = getattr(state.opt_state, "gnorm", None)
+        return gn if gn is not None else optax.global_norm(grads)
+
     if steps_per_call > 1:
         assert accum_steps == 1, "combine accumulation inside loss batches"
 
@@ -90,8 +96,8 @@ def make_train_step(
             def one(st, mb):
                 r = jax.random.fold_in(rng, st.step)
                 (loss, _), grads = grad_fn(st.params, mb, r)
-                return st.apply_gradients(grads), (
-                    loss / scale, optax.global_norm(grads))
+                st = st.apply_gradients(grads)
+                return st, (loss / scale, _grad_norm(st, grads))
 
             state, (losses, gnorms) = jax.lax.scan(one, state, batches)
             return state, {"loss": losses, "grad_norm": gnorms[-1]}
@@ -132,7 +138,7 @@ def make_train_step(
         new_state = state.apply_gradients(grads)
         metrics = dict(metrics)
         metrics["loss"] = loss / scale
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = _grad_norm(new_state, grads)
         return new_state, metrics
 
     # Sharding comes from the arguments: the loader device_puts batches with
