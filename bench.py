@@ -47,9 +47,12 @@ def main():
     attention_impl = os.environ.get("UNITER_BENCH_IMPL", "pallas")
 
     def build(impl):
-        # measured fastest on v5e: fully-unrolled encoder + hardware RNG
+        # measured fastest on v5e (docs/PERF.md r2): fully-unrolled encoder,
+        # fused Pallas attention, fused dropout+residual+LN block tails,
+        # hardware RNG, fused AdamW with bf16 moments, 16 steps per call
         cfg = base_config(dtype="bfloat16", attention_impl=impl,
-                          scan_unroll=12)
+                          scan_unroll=12,
+                          block_fusion="none" if impl == "xla" else "pallas")
         model = UniterForVisualQuestionAnswering(cfg, img_dim=2048)
         rng = np.random.RandomState(0)
         batch = dict(
@@ -66,7 +69,8 @@ def main():
             {"params": jax.random.PRNGKey(0)}, batch, False)["params"]
         tx = build_optimizer(
             params, get_lr_schedule(8e-5, 600, 6000), grad_norm=2.0,
-            weight_decay=0.01)
+            weight_decay=0.01, fused=True, mu_dtype=jnp.bfloat16,
+            nu_dtype=jnp.bfloat16)
         state = TrainState.create(params, tx)
 
         def loss_fn(p, b, r):
@@ -75,10 +79,10 @@ def main():
                 rngs={"dropout": r})
             return jnp.mean(per_elem) * 3129, {}
 
-        # measure the recommended throughput configuration: 8 optimizer
-        # steps per jit call (--steps_per_call 8; amortizes per-step
-        # dispatch, +4% measured on v5e via the remote relay)
-        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "8"))
+        # measure the recommended throughput configuration: 16 optimizer
+        # steps per jit call (--steps_per_call 16; amortizes per-step
+        # dispatch via the remote relay)
+        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "16"))
         step = make_train_step(loss_fn, loss_scale="mean",
                                steps_per_call=k)
         if k > 1:

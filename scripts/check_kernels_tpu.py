@@ -1,0 +1,62 @@
+"""Hardware (TPU) validation of the fused drop+res+LN kernel PRNG path.
+ 1. keep-rate ~ 1-rate (binomial tolerance)
+ 2. replay: fwd twice -> identical
+ 3. bwd mask consistency: dx == 0 exactly where the fwd dropped x,
+    and dx == dres/(1-rate) (through LN chain) at kept positions
+ 4. grads match the XLA composition when the XLA path is given the
+    kernel's own keep-mask (extracted via linearity probes)
+"""
+import os
+import numpy as np
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_bench_cache")
+from uniter_tpu.ops.fused_block import drop_res_ln
+from uniter_tpu.ops.layer_norm import layer_norm
+
+rng = np.random.RandomState(0)
+N, D = 512, 768
+x = jnp.asarray(rng.randn(N, D), jnp.float32)
+res = jnp.asarray(rng.randn(N, D), jnp.float32)
+w = jnp.asarray(1 + 0.1 * rng.randn(D), jnp.float32)
+b = jnp.asarray(0.1 * rng.randn(D), jnp.float32)
+key = jax.random.PRNGKey(5)
+rate = 0.1
+
+f = jax.jit(lambda x, res, w, b: drop_res_ln(
+    x, res, w, b, rate=rate, rng=key, impl="pallas"))
+y1 = np.asarray(f(x, res, w, b))
+y2 = np.asarray(f(x, res, w, b))
+assert np.array_equal(y1, y2), "replay mismatch"
+print("replay ok")
+
+# extract the keep mask: t = drop(x)+res ; with res=0, w=1, b=0 the LN is
+# monotone per-row but mixing -- instead probe via derivative: dy/dx[i,j]=0
+# iff dropped. Use jvp with one-hot-free trick: grad of sum(y) wrt x has
+# exact zeros at dropped positions.
+g = jax.jit(jax.grad(lambda x: jnp.sum(drop_res_ln(
+    x, res, w, b, rate=rate, rng=key, impl="pallas"))))(x)
+g = np.asarray(g)
+dropped = g == 0.0
+drop_frac = dropped.mean()
+print("drop fraction:", drop_frac)
+assert abs(drop_frac - rate) < 0.005, drop_frac
+
+# grads parity vs XLA composition with the SAME mask
+keep = jnp.asarray(~dropped)
+def xla_comp(x, res, w, b):
+    xx = jnp.where(keep, x / (1 - rate), 0.0)
+    return layer_norm(xx + res, w, b, impl="xla")
+for i, (gp, gx) in enumerate(zip(
+        jax.jit(jax.grad(lambda *a: jnp.sum(drop_res_ln(
+            *a, rate=rate, rng=key, impl="pallas") ** 2), argnums=(0,1,2,3)))(x, res, w, b),
+        jax.jit(jax.grad(lambda *a: jnp.sum(xla_comp(*a) ** 2),
+                         argnums=(0,1,2,3)))(x, res, w, b))):
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=2e-4, atol=2e-4, err_msg=f"arg {i}")
+print("grad parity vs same-mask XLA composition ok")
+# fwd parity too
+yx = np.asarray(jax.jit(xla_comp)(x, res, w, b))
+np.testing.assert_allclose(y1, yx, rtol=2e-5, atol=2e-5)
+print("fwd parity ok")
+print("ALL OK")

@@ -82,3 +82,30 @@ def test_layer_norm_kernel_interpret():
     for a, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_drop_res_ln_kernel_interpret():
+    """Fused dropout+residual+LN tail (rate=0 path: exact parity with the
+    unfused composition, incl. weight/bias grads; the PRNG path needs the
+    on-core generator and is validated on hardware)."""
+    from uniter_tpu.ops.fused_block import drop_res_ln
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(32, 24), jnp.float32)
+    res = jnp.asarray(rng.randn(32, 24), jnp.float32)
+    w = jnp.asarray(1.0 + 0.1 * rng.randn(24), jnp.float32)
+    b = jnp.asarray(0.1 * rng.randn(24), jnp.float32)
+
+    out_p = np.asarray(drop_res_ln(x, res, w, b, impl="pallas"))
+    out_x = np.asarray(drop_res_ln(x, res, w, b, impl="xla"))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
+
+    gp = jax.grad(lambda *a: jnp.sum(
+        drop_res_ln(*a, impl="pallas") ** 2), argnums=(0, 1, 2, 3))(
+        x, res, w, b)
+    gx = jax.grad(lambda *a: jnp.sum(
+        drop_res_ln(*a, impl="xla") ** 2), argnums=(0, 1, 2, 3))(
+        x, res, w, b)
+    for a, e in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-4)

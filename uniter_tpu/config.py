@@ -49,9 +49,13 @@ class UniterConfig:
     # match apex FusedLayerNorm usage (reference model/model.py:229).
     layer_norm_impl: str = "xla"
     # Dropout mask implementation: "xla" (flax-compatible bernoulli) or
-    # "u16" (16-bit thresholds, half the random-bit HBM traffic;
-    # ops/dropout.py).
+    # "u16"/"u8" (16/8-bit thresholds, half/quarter the random-bit HBM
+    # traffic; ops/dropout.py).
     dropout_impl: str = "xla"
+    # "pallas": fuse each sub-block tail (dropout + residual + LayerNorm)
+    # into one kernel with in-kernel PRNG (ops/fused_block.py). "none":
+    # compose dropout_impl + layer_norm_impl separately.
+    block_fusion: str = "none"
     layer_norm_eps: float = 1e-12
     # Fuse the Q/K/V projections into one [H, 3H] GEMM at apply time (param
     # layout stays query/key/value, so checkpoints are unaffected).

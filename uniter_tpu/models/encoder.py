@@ -33,6 +33,7 @@ from uniter_tpu.ops.activations import ACT2FN
 from uniter_tpu.ops.attention import multi_head_attention
 from uniter_tpu.ops.dropout import dropout as dropout_op
 from uniter_tpu.ops.ffn import ffn
+from uniter_tpu.ops.fused_block import drop_res_ln
 from uniter_tpu.ops.layer_norm import layer_norm
 
 MASK_VALUE = -10000.0  # additive padding bias, reference model/model.py:345
@@ -53,6 +54,33 @@ class Drop(nn.Module):
         return dropout_op(x, self.rate, rng,
                           impl=self.config.dropout_impl,
                           deterministic=skip)
+
+
+class DropResLN(nn.Module):
+    """``LayerNorm(dropout(x) + res)`` — the tail of both BERT sub-blocks
+    (reference model/layer.py:104-127,158-170). Param layout matches a plain
+    LayerNorm module (weight/bias), so checkpoints are unaffected by the
+    fusion choice. With ``config.block_fusion == "pallas"`` the whole tail
+    runs as one TPU kernel with in-kernel PRNG (ops/fused_block.py)."""
+
+    config: UniterConfig
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, res, deterministic: bool = True):
+        cfg = self.config
+        d = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        skip = deterministic or self.rate == 0.0
+        rng = None if skip else self.make_rng("dropout")
+        if cfg.block_fusion == "pallas":
+            return drop_res_ln(x, res, weight, bias, rate=self.rate, rng=rng,
+                               eps=cfg.layer_norm_eps, impl="pallas")
+        x = dropout_op(x, self.rate, rng, impl=cfg.dropout_impl,
+                       deterministic=skip)
+        return layer_norm(x + res, weight, bias, eps=cfg.layer_norm_eps,
+                          impl=cfg.layer_norm_impl)
 
 
 def _dense_init(config: UniterConfig):
@@ -258,10 +286,9 @@ class BertAttention(nn.Module):
             impl=cfg.attention_impl,
         ).reshape(b, s, cfg.hidden_size)
         out = Dense(cfg, cfg.hidden_size, name="output_dense")(ctx)
-        out = Drop(cfg, cfg.hidden_dropout_prob)(
-            out, deterministic=self.deterministic
-        )
-        return LayerNorm(cfg, name="output_LayerNorm")(out + hidden)
+        return DropResLN(cfg, cfg.hidden_dropout_prob,
+                         name="output_LayerNorm")(
+            out, hidden, deterministic=self.deterministic)
 
 
 class BertLayer(nn.Module):
@@ -291,8 +318,9 @@ class BertLayer(nn.Module):
         else:
             inter = ACT2FN[cfg.hidden_act](inter_mod(attn_out))
             out = out_mod(inter)
-        out = Drop(cfg, cfg.hidden_dropout_prob)(out, deterministic=self.deterministic)
-        out = LayerNorm(cfg, name="output_LayerNorm")(out + attn_out)
+        out = DropResLN(cfg, cfg.hidden_dropout_prob,
+                        name="output_LayerNorm")(
+            out, attn_out, deterministic=self.deterministic)
         return out
 
 

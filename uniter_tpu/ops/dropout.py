@@ -26,6 +26,17 @@ def dropout(x, rate: float, rng, *, impl: str = "xla", deterministic: bool = Fal
     """Inverted dropout. Returns x unchanged when deterministic or rate==0."""
     if deterministic or rate == 0.0 or rng is None:
         return x
+    if impl == "u8":
+        # 8-bit thresholds: quarter the random-bit traffic of u32. The keep
+        # rate quantizes to 1/256 steps (0.1 -> 26/256 = 0.1016); the
+        # rescale uses the quantized rate so E[dropout(x)] == x stays exact.
+        thr = int(round(rate * 256))
+        if 0 < thr < 256:
+            keep_q = 1.0 - thr / 256.0
+            bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+            keep = bits >= jnp.uint8(thr)
+            scale = jnp.asarray(1.0 / keep_q, x.dtype)
+            return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
     if impl in ("u16", "u16pack"):
         thr = int(round(rate * 65536))
         if 0 < thr < 65536:

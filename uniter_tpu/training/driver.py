@@ -62,7 +62,7 @@ def add_common_args(parser: argparse.ArgumentParser):
                              "halves optimizer HBM traffic; fp32 arithmetic "
                              "either way; requires --fused_adamw)")
     parser.add_argument("--dropout_impl", default="xla",
-                        choices=["xla", "u16"],
+                        choices=["xla", "u16", "u8"],
                         help="u16: half-traffic 16-bit dropout masks "
                              "(keep-rate quantized to 1/65536)")
     parser.add_argument("--betas", nargs=2, type=float, default=[0.9, 0.98])
@@ -72,7 +72,14 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--warmup_steps", type=int, default=800)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--dtype", default="bfloat16")
-    parser.add_argument("--attention_impl", default="xla")
+    parser.add_argument("--attention_impl", default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_nt"],
+                        help="auto: fused Pallas kernel on accelerators, "
+                             "XLA attention on CPU")
+    parser.add_argument("--block_fusion", default="auto",
+                        choices=["auto", "none", "pallas"],
+                        help="fuse each sub-block dropout+residual+LN tail "
+                             "into one kernel (auto: on for accelerators)")
     parser.add_argument("--fp16", action="store_true",
                         help="accepted for config compat; bf16 is used")
     parser.add_argument("--n_workers", type=int, default=4)
@@ -174,7 +181,8 @@ def load_trunk_checkpoint(params, opts, model_cfg, *,
 def model_config_from_opts(opts, **overrides) -> UniterConfig:
     cfg = UniterConfig.from_json_file(
         opts.model_config, dtype=opts.dtype,
-        attention_impl=opts.attention_impl,
+        attention_impl=getattr(opts, "attention_impl", "auto"),
+        block_fusion=getattr(opts, "block_fusion", "auto"),
         dropout_impl=getattr(opts, "dropout_impl", "xla"), **overrides)
     # --dropout overrides both dropout rates (reference utils/misc.py:57-63
     # set_dropout applied by every driver)
@@ -182,12 +190,19 @@ def model_config_from_opts(opts, **overrides) -> UniterConfig:
     if drop is not None:
         cfg = cfg.replace(hidden_dropout_prob=drop,
                           attention_probs_dropout_prob=drop)
-    # fully unroll the scanned encoder on accelerators (measured +17% on
-    # v5e); keep scan on CPU where compile time dominates tests
+    # Accelerator auto-policy (each measured on v5e, docs/PERF.md): fully
+    # unrolled encoder (+17%), fused Pallas attention, fused sub-block
+    # dropout+residual+LN tails (+7%). CPU keeps the scan (compile time)
+    # and the XLA reference paths (Pallas needs the TPU PRNG).
     import jax
 
-    if jax.default_backend() != "cpu":
+    on_accel = jax.default_backend() != "cpu"
+    if on_accel:
         cfg = cfg.replace(scan_unroll=cfg.num_hidden_layers)
+    if cfg.attention_impl == "auto":
+        cfg = cfg.replace(attention_impl="pallas" if on_accel else "xla")
+    if cfg.block_fusion == "auto":
+        cfg = cfg.replace(block_fusion="pallas" if on_accel else "none")
     return cfg
 
 

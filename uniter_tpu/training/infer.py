@@ -25,7 +25,17 @@ def load_train_meta(train_dir: str):
 
 
 def model_config_from_meta(model_json: dict, **overrides) -> UniterConfig:
-    return UniterConfig.from_dict(model_json, **overrides)
+    cfg = UniterConfig.from_dict(model_json, **overrides)
+    # resolve "auto" kernel policies for this process's backend (training
+    # metadata may carry the unresolved CLI default)
+    import jax
+
+    on_accel = jax.default_backend() != "cpu"
+    if cfg.attention_impl == "auto":
+        cfg = cfg.replace(attention_impl="pallas" if on_accel else "xla")
+    if cfg.block_fusion == "auto":
+        cfg = cfg.replace(block_fusion="pallas" if on_accel else "none")
+    return cfg
 
 
 def resolve_ckpt(train_dir: str, ckpt: Optional[str] = None) -> str:
