@@ -74,3 +74,45 @@ def test_all_recipe_configs_parse_and_tasks_known():
         if "model_config" in cfg:
             mc = os.path.join(root, os.path.basename(cfg["model_config"]))
             assert os.path.exists(mc), cfg["model_config"]
+
+
+def test_kernel_policy_resolution_cpu():
+    """TPU-trained runs store RESOLVED kernel policies (block_fusion
+    "pallas" etc.) in model.json; CPU inference must downgrade them to the
+    XLA reference paths instead of crashing in pallas lowering, and "auto"
+    resolves per backend (review r2 finding)."""
+    from uniter_tpu.training.infer import model_config_from_meta
+
+    cfg = model_config_from_meta(dict(
+        vocab_size=32, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        attention_impl="pallas", block_fusion="pallas",
+        layer_norm_impl="pallas", ffn_impl="pallas"))
+    assert cfg.attention_impl == "xla"
+    assert cfg.block_fusion == "none"
+    assert cfg.layer_norm_impl == "xla"
+    assert cfg.ffn_impl == "xla"
+    cfg = model_config_from_meta(dict(
+        vocab_size=32, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        attention_impl="auto", block_fusion="auto"))
+    assert cfg.attention_impl == "xla" and cfg.block_fusion == "none"
+
+
+def test_moment_dtype_requires_fused():
+    import pytest
+    from uniter_tpu.training.driver import optim_kwargs
+
+    class O:
+        betas = [0.9, 0.98]
+        weight_decay = 0.01
+        grad_norm = 2.0
+        optim = "adamw"
+        fused_adamw = 0
+        moment_dtype = "bfloat16"
+
+    with pytest.raises(ValueError):
+        optim_kwargs(O())
+    O.fused_adamw = 1
+    kw = optim_kwargs(O())
+    assert kw["fused"] and kw["nu_dtype"] is not None

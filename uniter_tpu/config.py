@@ -97,6 +97,33 @@ class UniterConfig:
         return json.dumps(self.to_dict(), indent=2, sort_keys=True) + "\n"
 
 
+def resolve_kernel_policies(cfg: UniterConfig) -> UniterConfig:
+    """Resolve "auto" kernel policies for this process's backend, and
+    downgrade Pallas implementations to the reference XLA paths off-
+    accelerator (the kernels need the TPU backend / on-core PRNG).
+
+    Drivers resolve before training; inference resolves again because a
+    TPU-trained run's metadata stores the *resolved* policies, which must
+    not crash a CPU inference of the same run.
+    """
+    import jax
+
+    on_accel = jax.default_backend() != "cpu"
+    att, bf = cfg.attention_impl, cfg.block_fusion
+    ln, ffn = cfg.layer_norm_impl, cfg.ffn_impl
+    if att == "auto":
+        att = "pallas" if on_accel else "xla"
+    if bf == "auto":
+        bf = "pallas" if on_accel else "none"
+    if not on_accel:
+        att = "xla" if att in ("pallas", "pallas_nt") else att
+        bf = "none" if bf == "pallas" else bf
+        ln = "xla" if ln == "pallas" else ln
+        ffn = "xla" if ffn == "pallas" else ffn
+    return cfg.replace(attention_impl=att, block_fusion=bf,
+                       layer_norm_impl=ln, ffn_impl=ffn)
+
+
 def base_config(**overrides) -> UniterConfig:
     """uniter-base: 12L/768H/12 heads (reference config/uniter-base.json)."""
     return UniterConfig(**overrides)

@@ -100,10 +100,14 @@ def optim_kwargs(opts) -> dict:
     """Shared optimizer options (drivers pass these to build_optimizer)."""
     md = getattr(opts, "moment_dtype", "float32")
     md = jnp.bfloat16 if md == "bfloat16" else None
+    fused = bool(getattr(opts, "fused_adamw", 0))
+    if md is not None and not fused:
+        # the optax chain only supports mu_dtype; both-moment storage needs
+        # the fused kernel — fail loudly rather than train something else
+        raise ValueError("--moment_dtype bfloat16 requires --fused_adamw 1")
     return dict(
         betas=tuple(opts.betas), weight_decay=opts.weight_decay,
-        grad_norm=opts.grad_norm, optim=opts.optim,
-        fused=bool(getattr(opts, "fused_adamw", 0)),
+        grad_norm=opts.grad_norm, optim=opts.optim, fused=fused,
         mu_dtype=md, nu_dtype=md)
 
 
@@ -192,18 +196,15 @@ def model_config_from_opts(opts, **overrides) -> UniterConfig:
                           attention_probs_dropout_prob=drop)
     # Accelerator auto-policy (each measured on v5e, docs/PERF.md): fully
     # unrolled encoder (+17%), fused Pallas attention, fused sub-block
-    # dropout+residual+LN tails (+7%). CPU keeps the scan (compile time)
+    # dropout+residual+LN tails (+12%). CPU keeps the scan (compile time)
     # and the XLA reference paths (Pallas needs the TPU PRNG).
     import jax
 
-    on_accel = jax.default_backend() != "cpu"
-    if on_accel:
+    from uniter_tpu.config import resolve_kernel_policies
+
+    if jax.default_backend() != "cpu":
         cfg = cfg.replace(scan_unroll=cfg.num_hidden_layers)
-    if cfg.attention_impl == "auto":
-        cfg = cfg.replace(attention_impl="pallas" if on_accel else "xla")
-    if cfg.block_fusion == "auto":
-        cfg = cfg.replace(block_fusion="pallas" if on_accel else "none")
-    return cfg
+    return resolve_kernel_policies(cfg)
 
 
 def setup_run(opts, model_cfg) -> tuple:

@@ -25,17 +25,13 @@ def load_train_meta(train_dir: str):
 
 
 def model_config_from_meta(model_json: dict, **overrides) -> UniterConfig:
-    cfg = UniterConfig.from_dict(model_json, **overrides)
-    # resolve "auto" kernel policies for this process's backend (training
-    # metadata may carry the unresolved CLI default)
-    import jax
+    # training metadata stores RESOLVED policies (e.g. block_fusion
+    # "pallas" from a TPU run) — re-resolve so CPU inference of a
+    # TPU-trained run downgrades to the XLA reference paths
+    from uniter_tpu.config import resolve_kernel_policies
 
-    on_accel = jax.default_backend() != "cpu"
-    if cfg.attention_impl == "auto":
-        cfg = cfg.replace(attention_impl="pallas" if on_accel else "xla")
-    if cfg.block_fusion == "auto":
-        cfg = cfg.replace(block_fusion="pallas" if on_accel else "none")
-    return cfg
+    return resolve_kernel_policies(
+        UniterConfig.from_dict(model_json, **overrides))
 
 
 def resolve_ckpt(train_dir: str, ckpt: Optional[str] = None) -> str:
