@@ -194,3 +194,23 @@ def test_concat_dataset(dbs):
     assert c.size_of(35) == b.size_of(5)
     rec = c.get_record(59, np.random.RandomState(0))
     assert "input_ids" in rec
+
+
+def test_bucket_stats_accounting():
+    """bucket_stats: exact token accounting on a hand-computed case."""
+    from uniter_tpu.data.buckets import BucketSpec, bucket_stats
+
+    spec = BucketSpec(txt_buckets=(16, 32), img_buckets=(8,),
+                      token_budget=96, size_mul=2, min_batch=2)
+    # bucket (16, 8): batch rows = 96 // 24 = 4
+    # bucket (32, 8): batch rows = 96 // 40 = 2
+    sizes = [(10, 5)] * 5 + [(20, 8)] * 2
+    st = bucket_stats(sizes, spec)
+    b1 = st["buckets"]["16x8"]
+    assert b1["examples"] == 5 and b1["batches"] == 2
+    assert b1["token_efficiency"] == round(5 * 15 / (2 * 4 * 24), 4)
+    b2 = st["buckets"]["32x8"]
+    assert b2["examples"] == 2 and b2["batches"] == 1
+    assert st["n_programs"] == 2 and st["n_batches"] == 3
+    total_eff = (5 * 15 + 2 * 28) / (2 * 4 * 24 + 1 * 2 * 40)
+    assert st["token_efficiency"] == round(total_eff, 4)

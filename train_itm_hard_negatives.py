@@ -125,11 +125,14 @@ def main(opts):
         lambda b: device_put_batch(b, mesh, accum=True, local=False),
         depth=2)
 
+    import time
+
     rng = default_prng_key(opts.seed)  # rbg on TPU (threefry ~18ms/step)
     guard = NanGuard()
     global_step = int(state.step)
     last_saved = -1
     pending = []
+    t_window = time.time()
 
     def flush():
         for s, dev_loss in pending:
@@ -145,6 +148,12 @@ def main(opts):
         pending.append((global_step, metrics["loss"]))
         if global_step % 100 == 0:
             flush()
+            # reference telemetry (train_itm_hard_negatives.py:228-237):
+            # mined hard negatives consumed per second
+            dt = time.time() - t_window
+            hn = 100 * opts.train_batch_size * opts.hard_neg_size
+            TB_LOGGER.add_scalar("perf/hn_per_s", hn / dt, global_step)
+            t_window = time.time()
         if opts.valid_steps and global_step % opts.valid_steps == 0:
             flush()
             logs = train_itm.validate_retrieval(model, state.params, val_ds)

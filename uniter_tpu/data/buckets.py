@@ -193,3 +193,42 @@ def slots_from_mask(mask: np.ndarray, n_slots: int):
         pos[i, : len(idx)] = idx
         valid[i, : len(idx)] = 1.0
     return pos, valid
+
+
+def bucket_stats(sizes: Sequence[Tuple[int, int]], spec: BucketSpec,
+                 rows_per_example: int = 1) -> Dict:
+    """Padding-waste report for a dataset under a bucket grid.
+
+    The reference's TokenBucketSampler packs sorted batches to the token
+    budget with per-batch max-length padding (high utilization, dynamic
+    shapes); static buckets trade some padding for a fixed program count.
+    This measures the trade (SURVEY "hard parts": measure padding waste):
+
+      token_efficiency  = real tokens / padded bucket tokens, over a full
+                          epoch including tail-batch padding rows
+      per-bucket rows   = examples, batches, batch rows, bucket shape
+    """
+    per: Dict[Tuple[int, int], Dict] = {}
+    for tl, nbb in sizes:
+        b = spec.bucket_for(tl, nbb)
+        d = per.setdefault(b, dict(n=0, real_tokens=0))
+        d["n"] += 1
+        d["real_tokens"] += tl + nbb
+    out = {}
+    tot_real = tot_padded = tot_batches = 0
+    for (t, r), d in sorted(per.items()):
+        rows = max(spec.batch_size((t, r)) // rows_per_example, 1)
+        n_batches = -(-d["n"] // rows)  # ceil: tail batch padded, not dropped
+        padded = n_batches * rows * rows_per_example * (t + r)
+        out[f"{t}x{r}"] = dict(
+            examples=d["n"], batch_examples=rows, batches=n_batches,
+            token_efficiency=round(d["real_tokens"] / padded, 4))
+        tot_real += d["real_tokens"]
+        tot_padded += padded
+        tot_batches += n_batches
+    return dict(
+        buckets=out,
+        n_programs=len(out),
+        n_batches=tot_batches,
+        token_efficiency=round(tot_real / max(tot_padded, 1), 4),
+    )
