@@ -60,3 +60,28 @@ yx = np.asarray(jax.jit(xla_comp)(x, res, w, b))
 np.testing.assert_allclose(y1, yx, rtol=2e-5, atol=2e-5)
 print("fwd parity ok")
 print("ALL OK")
+
+# ---- ln_drop (embedding tail) PRNG path ----
+from uniter_tpu.ops.fused_block import ln_drop
+
+f2 = jax.jit(lambda x, w, b: ln_drop(x, w, b, rate=rate, rng=key, impl="pallas"))
+z1 = np.asarray(f2(x, w, b))
+z2 = np.asarray(f2(x, w, b))
+assert np.array_equal(z1, z2), "ln_drop replay mismatch"
+dropped2 = z1 == 0.0
+frac2 = dropped2.mean()
+assert abs(frac2 - rate) < 0.005, frac2
+keep2 = jnp.asarray(~dropped2)
+def xla_comp2(x, w, b):
+    y = layer_norm(x, w, b, impl="xla")
+    return jnp.where(keep2, y / (1 - rate), 0.0)
+z_x = np.asarray(jax.jit(xla_comp2)(x, w, b))
+np.testing.assert_allclose(z1, z_x, rtol=2e-5, atol=2e-5)
+for i, (gp, gx) in enumerate(zip(
+        jax.jit(jax.grad(lambda *a: jnp.sum(ln_drop(
+            *a, rate=rate, rng=key, impl="pallas") ** 2), argnums=(0, 1, 2)))(x, w, b),
+        jax.jit(jax.grad(lambda *a: jnp.sum(xla_comp2(*a) ** 2),
+                         argnums=(0, 1, 2)))(x, w, b))):
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=2e-4, atol=2e-4, err_msg=f"ln_drop arg {i}")
+print("ln_drop: replay, rate, fwd+grad parity OK")

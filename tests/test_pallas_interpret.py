@@ -109,3 +109,26 @@ def test_drop_res_ln_kernel_interpret():
     for a, e in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_ln_drop_kernel_interpret():
+    """Fused LN+dropout embedding tail (rate=0 path: exact parity with the
+    unfused composition, incl. weight/bias grads)."""
+    from uniter_tpu.ops.fused_block import ln_drop
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(32, 24), jnp.float32)
+    w = jnp.asarray(1.0 + 0.1 * rng.randn(24), jnp.float32)
+    b = jnp.asarray(0.1 * rng.randn(24), jnp.float32)
+
+    out_p = np.asarray(ln_drop(x, w, b, impl="pallas"))
+    out_x = np.asarray(ln_drop(x, w, b, impl="xla"))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
+
+    gp = jax.grad(lambda *a: jnp.sum(
+        ln_drop(*a, impl="pallas") ** 2), argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(lambda *a: jnp.sum(
+        ln_drop(*a, impl="xla") ** 2), argnums=(0, 1, 2))(x, w, b)
+    for a, e in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-4)

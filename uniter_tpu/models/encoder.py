@@ -33,7 +33,7 @@ from uniter_tpu.ops.activations import ACT2FN
 from uniter_tpu.ops.attention import multi_head_attention
 from uniter_tpu.ops.dropout import dropout as dropout_op
 from uniter_tpu.ops.ffn import ffn
-from uniter_tpu.ops.fused_block import drop_res_ln
+from uniter_tpu.ops.fused_block import drop_res_ln, ln_drop
 from uniter_tpu.ops.layer_norm import layer_norm
 
 MASK_VALUE = -10000.0  # additive padding bias, reference model/model.py:345
@@ -81,6 +81,32 @@ class DropResLN(nn.Module):
                        deterministic=skip)
         return layer_norm(x + res, weight, bias, eps=cfg.layer_norm_eps,
                           impl=cfg.layer_norm_impl)
+
+
+class LNDrop(nn.Module):
+    """``dropout(LayerNorm(x))`` — the embedding tails (reference
+    model/model.py:241-244,269-271). Param layout matches a plain LayerNorm
+    module; with ``config.block_fusion == "pallas"`` the tail runs as one
+    kernel with in-kernel PRNG (ops/fused_block.py ln_drop)."""
+
+    config: UniterConfig
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        d = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        skip = deterministic or self.rate == 0.0
+        rng = None if skip else self.make_rng("dropout")
+        if cfg.block_fusion == "pallas":
+            return ln_drop(x, weight, bias, rate=self.rate, rng=rng,
+                           eps=cfg.layer_norm_eps, impl="pallas")
+        y = layer_norm(x, weight, bias, eps=cfg.layer_norm_eps,
+                       impl=cfg.layer_norm_impl)
+        return dropout_op(y, self.rate, rng, impl=cfg.dropout_impl,
+                          deterministic=skip)
 
 
 def _dense_init(config: UniterConfig):
@@ -180,8 +206,8 @@ class UniterTextEmbeddings(nn.Module):
         self.token_type_embeddings = Embed(
             cfg, cfg.type_vocab_size, name="token_type_embeddings"
         )
-        self.LayerNorm = LayerNorm(cfg, name="LayerNorm")
-        self.dropout = Drop(cfg, cfg.hidden_dropout_prob)
+        self.ln_dropout = LNDrop(cfg, cfg.hidden_dropout_prob,
+                                 name="LayerNorm")
 
     def __call__(self, input_ids, position_ids, token_type_ids=None, *,
                  deterministic: bool = True):
@@ -192,8 +218,7 @@ class UniterTextEmbeddings(nn.Module):
             + self.position_embeddings(position_ids)
             + self.token_type_embeddings(token_type_ids)
         )
-        emb = self.LayerNorm(emb)
-        return self.dropout(emb, deterministic=deterministic)
+        return self.ln_dropout(emb, deterministic=deterministic)
 
 
 class UniterImageEmbeddings(nn.Module):
@@ -217,8 +242,8 @@ class UniterImageEmbeddings(nn.Module):
         self.mask_embedding = self.param(
             "mask_embedding", _dense_init(cfg), (2, self.img_dim), jnp.float32
         )
-        self.LayerNorm = LayerNorm(cfg, name="LayerNorm")
-        self.dropout = Drop(cfg, cfg.hidden_dropout_prob)
+        self.ln_dropout = LNDrop(cfg, cfg.hidden_dropout_prob,
+                                 name="LayerNorm")
 
     def __call__(self, img_feat, img_pos_feat, type_embeddings, img_masks=None, *,
                  deterministic: bool = True):
@@ -236,8 +261,8 @@ class UniterImageEmbeddings(nn.Module):
         pos = self.pos_layer_norm(
             self.pos_linear(img_pos_feat.astype(cfg.compute_dtype))
         )
-        emb = self.LayerNorm(im + pos + type_embeddings)
-        return self.dropout(emb, deterministic=deterministic)
+        return self.ln_dropout(im + pos + type_embeddings,
+                               deterministic=deterministic)
 
 
 class BertAttention(nn.Module):

@@ -198,6 +198,141 @@ def _drop_res_ln_bwd(rate, eps, saved, g):
 _drop_res_ln.defvjp(_drop_res_ln_fwd, _drop_res_ln_bwd)
 
 
+# ---------------------------------------------------------------------------
+# ln_drop: dropout(LayerNorm(x)) — the embedding tails (text and image
+# embeddings run LN *then* dropout, reference model/model.py:241-244,269-271;
+# the sub-block tails above run dropout *then* LN+residual).
+# ---------------------------------------------------------------------------
+
+
+def _ln_drop_fwd_kernel(seed_ref, x_ref, w_ref, b_ref, o_ref, *, rate, eps):
+    x = x_ref[...].astype(jnp.float32)
+    that, _ = _ln_stats(x, eps)
+    y = that * w_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, rate, y.shape)
+        y = jnp.where(keep, y * (1.0 / (1.0 - rate)), 0.0)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _ln_drop_bwd_kernel(seed_ref, x_ref, w_ref, g_ref,
+                        dx_ref, dw_ref, db_ref, *, rate, eps):
+    x = x_ref[...].astype(jnp.float32)
+    that, inv = _ln_stats(x, eps)
+    g = g_ref[...].astype(jnp.float32)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, rate, g.shape)
+        g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
+    gw = g * w_ref[...].astype(jnp.float32)
+    dx = inv * (
+        gw
+        - jnp.mean(gw, axis=-1, keepdims=True)
+        - that * jnp.mean(gw * that, axis=-1, keepdims=True)
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    blk, d = g.shape
+    pw = jnp.sum((g * that).reshape(blk // 8, 8, d), axis=0)
+    pb = jnp.sum(g.reshape(blk // 8, 8, d), axis=0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[...] = pw
+        db_ref[...] = pb
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        dw_ref[...] += pw
+        db_ref[...] += pb
+
+
+def _ln_drop_fwd_raw(x, weight, bias, seed, rate, eps):
+    shape = x.shape
+    d = shape[-1]
+    x2 = x.reshape(-1, d)
+    rows = x2.shape[0]
+    blk = _pick_row_block(rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows // blk,),
+        in_specs=[_row_specs(blk, d)] + [_vec_spec(d)] * 2,
+        out_specs=_row_specs(blk, d),
+    )
+    out = pl.pallas_call(
+        functools.partial(_ln_drop_fwd_kernel, rate=rate, eps=eps),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        grid_spec=grid_spec,
+    )(seed, x2, weight, bias)
+    return out.reshape(shape)
+
+
+def _ln_drop_bwd_raw(x, weight, seed, rate, eps, g):
+    shape = x.shape
+    d = shape[-1]
+    x2 = x.reshape(-1, d)
+    g2 = g.reshape(-1, d)
+    rows = x2.shape[0]
+    blk = _pick_row_block(rows)
+    acc_spec = pl.BlockSpec((8, d), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows // blk,),
+        in_specs=[_row_specs(blk, d), _vec_spec(d), _row_specs(blk, d)],
+        out_specs=[_row_specs(blk, d), acc_spec, acc_spec],
+    )
+    dx, dw_p, db_p = pl.pallas_call(
+        functools.partial(_ln_drop_bwd_kernel, rate=rate, eps=eps),
+        interpret=_interpret(),
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), x.dtype),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+            jax.ShapeDtypeStruct((8, d), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+    )(seed, x2, weight, g2)
+    return dx.reshape(shape), jnp.sum(dw_p, axis=0), jnp.sum(db_p, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ln_drop(x, weight, bias, seed, rate, eps):
+    return _ln_drop_fwd_raw(x, weight, bias, seed, rate, eps)
+
+
+def _ln_drop_vjp_fwd(x, weight, bias, seed, rate, eps):
+    return _ln_drop_fwd_raw(x, weight, bias, seed, rate, eps), (x, weight, seed)
+
+
+def _ln_drop_vjp_bwd(rate, eps, saved, g):
+    x, weight, seed = saved
+    dx, dw, db = _ln_drop_bwd_raw(x, weight, seed, rate, eps, g)
+    return dx, dw.astype(weight.dtype), db.astype(weight.dtype), None
+
+
+_ln_drop.defvjp(_ln_drop_vjp_fwd, _ln_drop_vjp_bwd)
+
+
+def ln_drop(x, weight, bias, *, rate: float = 0.0, rng=None,
+            eps: float = 1e-12, impl: str = "xla"):
+    """``dropout(LayerNorm(x))`` over the last axis (embedding tails)."""
+    rows = x.size // x.shape[-1]
+    if impl == "pallas" and pltpu is not None and rows % 8 == 0:
+        r = float(rate) if rng is not None else 0.0
+        if r > 0.0:
+            seed = jax.random.randint(
+                rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        return _ln_drop(x, weight, bias, seed, r, eps)
+    from uniter_tpu.ops.layer_norm import layer_norm
+
+    y = layer_norm(x, weight, bias, eps=eps, impl="xla")
+    if rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - rate, y.shape)
+        y = jnp.where(keep, y / (1.0 - rate), jnp.zeros((), y.dtype))
+    return y
+
+
 def _xla_reference(x, res, weight, bias, rate, rng, eps):
     """Unfused composition (CPU / parity path): flax-compatible dropout."""
     from uniter_tpu.ops.layer_norm import layer_norm
