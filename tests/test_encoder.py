@@ -218,3 +218,46 @@ def test_dropout_impl_u16_trains(tiny_model_batch=None):
                         rngs={"dropout": jax.random.PRNGKey(3)})
     assert np.isfinite(np.asarray(stoch)).all()
     assert not np.allclose(np.asarray(det), np.asarray(stoch))
+
+
+def test_remat_grads_match():
+    """--remat (nn.remat around the scanned layer) must not change grads."""
+    import jax
+    import jax.numpy as jnp
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.models.encoder import UniterModel
+
+    B, T, R = 4, 8, 4
+    r = np.random.RandomState(0)
+    batch = (
+        jnp.asarray(r.randint(1, 500, (B, T)), jnp.int32),
+        jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)),
+        jnp.asarray(r.randn(B, R, 16), jnp.float32),
+        jnp.asarray(r.rand(B, R, 7), jnp.float32),
+        jnp.ones((B, T + R), jnp.int32),
+    )
+
+    def grads(remat):
+        cfg = tiny_config(remat=remat)
+        model = UniterModel(cfg, img_dim=16)
+        params = model.init({"params": jax.random.PRNGKey(0)}, *batch)[
+            "params"]
+
+        def loss(p):
+            return jnp.sum(model.apply({"params": p}, *batch) ** 2)
+
+        return params, jax.grad(loss)(params)
+
+    p0, g0 = grads(False)
+    p1, g1 = grads(True)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # the recompute reorders fp32 reductions, so near-cancelled grads (the
+    # embedding tables see ~1e-5 grads through two LayerNorms at this loss
+    # scale) shift by roundoff; bound the diff against the overall grad
+    # scale rather than per-element
+    scale = float(np.sqrt(sum(
+        float(np.sum(np.square(np.asarray(x)))) for x in jax.tree.leaves(g0))))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        d = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        assert d <= 1e-5 * max(scale, 1.0), (d, scale)

@@ -87,6 +87,11 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of a few hot-loop "
                              "steps here")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize each encoder layer in the "
+                             "backward pass (trades ~1/3 more FLOPs for "
+                             "activation memory; for uniter-large at long "
+                             "buckets / big batches)")
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-3: shard params + optimizer moments over "
                              "the data axis (for uniter-large scale)")
@@ -188,6 +193,8 @@ def model_config_from_opts(opts, **overrides) -> UniterConfig:
         attention_impl=getattr(opts, "attention_impl", "auto"),
         block_fusion=getattr(opts, "block_fusion", "auto"),
         dropout_impl=getattr(opts, "dropout_impl", "xla"), **overrides)
+    if getattr(opts, "remat", False):
+        cfg = cfg.replace(remat=True)
     # --dropout overrides both dropout rates (reference utils/misc.py:57-63
     # set_dropout applied by every driver)
     drop = getattr(opts, "dropout", None)
