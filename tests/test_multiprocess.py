@@ -241,3 +241,181 @@ def test_two_process_training_matches_single(tmp_path):
         state, m = step(state, jb, jax.random.PRNGKey(0))
         single.append(float(np.asarray(m["loss"])))
     np.testing.assert_allclose(single, losses[0], rtol=1e-6, atol=1e-7)
+
+
+RESUME_WORKER = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process, 4 global
+port, pid, repo, dbroot = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, repo)
+import jax.numpy as jnp
+from uniter_tpu.config import tiny_config
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.img_db import DetectFeatDb
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.data.txt_db import TxtTokDb
+from uniter_tpu.data.vqa import VqaDataset
+from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+from uniter_tpu.training.loop import device_put_batch, jnp_batch, place_state
+from uniter_tpu.training.optim import build_optimizer
+from uniter_tpu.training.step import TrainState, make_train_step
+from uniter_tpu.utils.save import TrainStateSaver
+
+mesh = make_mesh(MeshConfig(data=-1))
+ds = VqaDataset(5, TxtTokDb(f"{dbroot}/txt", max_txt_len=20),
+                DetectFeatDb(f"{dbroot}/img", 0.2, 10, 3, 5))
+spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,), token_budget=192,
+                  size_mul=8)
+loader = BucketLoader(ds, spec, seed=11, loop=True,
+                      shard_index=pid, shard_count=2)
+cfg = tiny_config()
+model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
+init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
+              position_ids=jnp.zeros((2, 16), jnp.int32),
+              img_feat=jnp.zeros((2, 8, 2048), jnp.float32),
+              img_pos_feat=jnp.zeros((2, 8, 7), jnp.float32),
+              attn_mask=jnp.ones((2, 24), jnp.int32))
+params = model.init({"params": jax.random.PRNGKey(0)}, init_b, False)[
+    "params"]
+tx = build_optimizer(params, 1e-3, grad_norm=2.0, weight_decay=0.01)
+state = place_state(TrainState.create(params, tx), mesh)
+
+# restore the checkpoint a SINGLE-process run saved at step 2 into this
+# 2-process topology (elastic resume: the shared-plan loader contract makes
+# host count a free parameter)
+saver = TrainStateSaver(f"{dbroot}/out")
+state = saver.restore(state)
+assert state is not None and int(state.step) == 2, state
+
+def loss_fn(p, b, r):
+    per = model.apply({"params": p}, b, True, deterministic=True)
+    w = b["ex_weight"][:, None]
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w) * 5, 1.0), {}
+
+step = make_train_step(loss_fn, mesh=mesh, loss_scale="mean", donate=False)
+it = iter(loader)
+for _ in range(2):   # skip the batches steps 1-2 consumed (same seed plan)
+    next(it)
+batch = next(it)
+assert batch["input_ids"].shape[0] == 4  # local block = 8 // 2
+jb = device_put_batch(jnp_batch(batch), mesh)
+state, m = step(state, jb, jax.random.PRNGKey(0))
+print("STEP3_LOSS", pid, f"{float(np.asarray(m['loss'])):.10f}", flush=True)
+"""
+
+
+def test_resume_single_process_ckpt_in_two_process_run(tmp_path):
+    """Elastic resume across topologies: a checkpoint saved by a
+    1-process/4-device run restores into a 2-process (2 devices each)
+    job and the continued trajectory matches the uninterrupted
+    single-process run. Host count is a free parameter because sharding
+    lives in the loader (shared global batch plan), not the dataset."""
+    import numpy as np
+
+    from uniter_tpu.data import write_img_db, write_txt_db
+
+    rng = np.random.RandomState(0)
+    img_names = [f"im_{i}.npz" for i in range(4)]
+    recs = {n: dict(features=rng.randn(5, 2048).astype(np.float16),
+                    norm_bb=rng.rand(5, 6).astype(np.float16),
+                    conf=np.linspace(1, .5, 5).astype(np.float16),
+                    soft_labels=rng.rand(5, 1601).astype(np.float16))
+            for n in img_names}
+    write_img_db(str(tmp_path / "img"), recs, conf_th=0.2, max_bb=10,
+                 min_bb=3)
+    meta = {"CLS": 2, "SEP": 3, "MASK": 4, "v_range": [6, 400]}
+    trecs, t2i = {}, {}
+    for i in range(16):
+        tid = f"q{i}"
+        trecs[tid] = dict(
+            input_ids=[int(x) for x in rng.randint(6, 400, 7)],
+            img_fname=img_names[i % 4],
+            target={"labels": [int(rng.randint(0, 5))], "scores": [1.0]})
+        t2i[tid] = img_names[i % 4]
+    write_txt_db(str(tmp_path / "txt"), trecs, meta, t2i)
+
+    # phase A: single-process 4-device run, 3 steps; checkpoint at step 2
+    import jax
+    import jax.numpy as jnp
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.img_db import DetectFeatDb
+    from uniter_tpu.data.loader import BucketLoader
+    from uniter_tpu.data.txt_db import TxtTokDb
+    from uniter_tpu.data.vqa import VqaDataset
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+    from uniter_tpu.training.loop import (
+        device_put_batch, jnp_batch, place_state,
+    )
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.step import TrainState, make_train_step
+    from uniter_tpu.utils.save import TrainStateSaver
+
+    mesh = make_mesh(MeshConfig(data=4), devices=jax.devices()[:4])
+    ds = VqaDataset(5, TxtTokDb(str(tmp_path / "txt"), max_txt_len=20),
+                    DetectFeatDb(str(tmp_path / "img"), 0.2, 10, 3, 5))
+    spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,),
+                      token_budget=192, size_mul=8)
+    loader = BucketLoader(ds, spec, seed=11, loop=True)
+    cfg = tiny_config()
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
+    init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
+                  position_ids=jnp.zeros((2, 16), jnp.int32),
+                  img_feat=jnp.zeros((2, 8, 2048), jnp.float32),
+                  img_pos_feat=jnp.zeros((2, 8, 7), jnp.float32),
+                  attn_mask=jnp.ones((2, 24), jnp.int32))
+    params = model.init({"params": jax.random.PRNGKey(0)}, init_b, False)[
+        "params"]
+    tx = build_optimizer(params, 1e-3, grad_norm=2.0, weight_decay=0.01)
+    state = place_state(TrainState.create(params, tx), mesh)
+
+    def loss_fn(p, b, r):
+        per = model.apply({"params": p}, b, True, deterministic=True)
+        w = b["ex_weight"][:, None]
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w) * 5, 1.0), {}
+
+    step = make_train_step(loss_fn, mesh=mesh, loss_scale="mean",
+                           donate=False)
+    saver = TrainStateSaver(str(tmp_path / "out"))
+    it = iter(loader)
+    oracle_losses = []
+    for i in range(3):
+        jb = device_put_batch(jnp_batch(next(it)), mesh)
+        state, m = step(state, jb, jax.random.PRNGKey(0))
+        oracle_losses.append(float(np.asarray(m["loss"])))
+        if i == 1:
+            saver.save(2, state)
+
+    # phase B: 2-process job restores the step-2 ckpt and runs step 3
+    worker = tmp_path / "resume_worker.py"
+    worker.write_text(RESUME_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), port, str(pid), REPO,
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    step3 = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("STEP3_LOSS")][0]
+        step3[pid] = float(line.split()[2])
+    assert step3[0] == step3[1], step3
+    np.testing.assert_allclose(step3[0], oracle_losses[2],
+                               rtol=1e-6, atol=1e-7)

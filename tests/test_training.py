@@ -402,3 +402,157 @@ def test_fused_adamw_bf16_moments_track_fp32():
         p16 = optax.apply_updates(p16, u)
     np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
                                rtol=2e-2, atol=2e-5)
+
+
+def test_sigterm_preemption_saves_and_resumes(tmp_path):
+    """SIGTERM mid-run (the TPU spot/maintenance reclaim signal) -> the loop
+    stops at the next step boundary with a resumable checkpoint, restores
+    the previous signal handler, and a rerun reaches num_train_steps with a
+    trajectory identical to an uninterrupted run. The reference dies
+    mid-step with no optimizer-state save (utils/save.py:70-73 TODO)."""
+    import os
+    import signal
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+    from uniter_tpu.training.loop import TrainLoop, place_state
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.step import TrainState
+    from uniter_tpu.utils.save import TrainStateSaver
+
+    cfg = tiny_config()
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=32, num_answer=5)
+    rng = np.random.RandomState(7)
+    host = dict(
+        input_ids=rng.randint(1, 500, (8, 8)).astype(np.int32),
+        position_ids=np.broadcast_to(
+            np.arange(8, dtype=np.int32), (8, 8)).copy(),
+        img_feat=rng.randn(8, 8, 32).astype(np.float32),
+        img_pos_feat=rng.rand(8, 8, 7).astype(np.float32),
+        attn_mask=np.ones((8, 16), np.int32),
+        targets=rng.rand(8, 5).astype(np.float32),
+    )
+    jb = {k: jnp.asarray(v) for k, v in host.items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb, False)[
+        "params"]
+
+    def loss_fn(p, b, r):
+        per = model.apply({"params": p}, b, True, deterministic=True)
+        return jnp.mean(per), {}
+
+    mesh = make_mesh(MeshConfig(data=8))
+
+    def fresh_state():
+        p0 = jax.tree.map(jnp.array, params)
+        tx = build_optimizer(p0, 1e-3, grad_norm=2.0, weight_decay=0.01)
+        return place_state(TrainState.create(p0, tx), mesh)
+
+    def plain_loader():
+        while True:
+            yield host
+
+    def make_loop(state, loader, saver=None):
+        # prefetch=0: the loader runs inline on the main thread, so the
+        # in-loader kill below is delivered at a deterministic step
+        return TrainLoop(loss_fn=loss_fn, state=state, train_loader=loader,
+                         mesh=mesh, num_train_steps=6, valid_steps=0,
+                         log_steps=100, seed=3, loss_scale="sum", prefetch=0,
+                         saver=saver)
+
+    # oracle: 6 steps uninterrupted
+    oracle = make_loop(fresh_state(), plain_loader()).run()
+    assert int(oracle.step) == 6
+
+    # interrupted: SIGTERM while fetching the 3rd batch
+    def sig_loader():
+        i = 0
+        while True:
+            i += 1
+            if i == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield host
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    saver = TrainStateSaver(str(tmp_path))
+    loop = make_loop(fresh_state(), sig_loader(), saver=saver)
+    state = loop.run()
+    assert loop.preempted
+    stopped = int(state.step)
+    assert 0 < stopped < 6
+    assert saver.latest_step() == stopped
+    assert signal.getsignal(signal.SIGTERM) is prev_handler
+
+    # resume to completion and match the oracle exactly
+    resumed = saver.restore(fresh_state())
+    assert int(resumed.step) == stopped
+    loop2 = make_loop(resumed, plain_loader(), saver=saver)
+    final = loop2.run()
+    assert not loop2.preempted and int(final.step) == 6
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        oracle.params, final.params))
+    assert max(diffs) == 0.0, max(diffs)
+
+
+def test_preemption_guard_poll_semantics():
+    """Local-flag latch: no stop before the signal, stop on every poll
+    after; uninstall restores the previous handler."""
+    import signal
+
+    from uniter_tpu.training.preempt import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as g:
+        assert not g.poll()
+        g._handler(signal.SIGTERM, None)  # simulate delivery
+        assert g.poll() and g.poll()
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_async_save_is_durable_before_read(tmp_path):
+    """save(block=False) returns immediately but restore()/latest_* wait
+    for the pending write — async checkpoints are never read half-done."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.step import TrainState
+    from uniter_tpu.utils.save import TrainStateSaver, load_params_msgpack
+
+    cfg = tiny_config()
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=32, num_answer=5)
+    rng = np.random.RandomState(0)
+    jb = dict(
+        input_ids=jnp.asarray(rng.randint(1, 500, (4, 8)), jnp.int32),
+        position_ids=jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (4, 8)),
+        img_feat=jnp.asarray(rng.randn(4, 4, 32), jnp.float32),
+        img_pos_feat=jnp.asarray(rng.rand(4, 4, 7), jnp.float32),
+        attn_mask=jnp.ones((4, 12), jnp.int32),
+    )
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb, False)[
+        "params"]
+    tx = build_optimizer(params, 1e-3, grad_norm=2.0, weight_decay=0.01)
+    state = TrainState.create(params, tx)
+
+    saver = TrainStateSaver(str(tmp_path))
+    saver.save(3, state, block=False)
+    assert saver.latest_step() == 3  # waits for the pending save
+    restored = saver.restore(state.replace(
+        params=jax.tree.map(jnp.zeros_like, state.params)))
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        restored.params, state.params))
+    assert max(diffs) == 0.0
+    exported = load_params_msgpack(saver.latest_params_file(), params)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        exported, state.params))
+    assert max(diffs) == 0.0

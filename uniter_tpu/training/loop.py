@@ -11,7 +11,8 @@ scheduling (inside the optax chain), EMA loss meters and the reference's TB
 scalar names (``loss``, ``lr``, ``grad_norm``, ``perf/ex_per_s``,
 ``perf/{task}_{ex,in,loss}_per_s``), periodic validation callbacks, Orbax
 train-state checkpointing with resume (which the reference lacked,
-utils/save.py:70-73 TODO), and end-of-training weight export.
+utils/save.py:70-73 TODO), graceful SIGTERM preemption (checkpoint + clean
+exit, training/preempt.py), and end-of-training weight export.
 
 Metric readback is deferred to the log boundary: calling ``float(loss)``
 every step forces a device->host sync that defeats async dispatch (the jit
@@ -175,6 +176,7 @@ class TrainLoop:
         transfer_dtype=None,
         steps_per_call: int = 1,
         warmup_batches=None,
+        preempt=True,
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -206,6 +208,11 @@ class TrainLoop:
             self.train_loader = AccumLoader(train_loader,
                                             max(self.accum, self.k))
         self.warmup_batches = warmup_batches
+        from uniter_tpu.training.preempt import PreemptionGuard
+
+        self.preempt = (PreemptionGuard() if preempt is True
+                        else (preempt or None))
+        self.preempted = False
         self.step_fn = make_train_step(
             loss_fn, mesh=mesh, loss_scale=loss_scale,
             accum_steps=self.accum, steps_per_call=self.k)
@@ -236,6 +243,12 @@ class TrainLoop:
                     len(self.warmup_batches), time.time() - t0)
 
     def run(self):
+        if self.preempt is not None:
+            with self.preempt:
+                return self._run()
+        return self._run()
+
+    def _run(self):
         state = self.state
         meter = RunningMeter("loss")
         guard = NanGuard()
@@ -332,14 +345,28 @@ class TrainLoop:
                             {f"valid/{k}": v for k, v in logs.items()},
                             step=global_step)
                 if self.saver is not None:
-                    self.saver.save(global_step, state)
+                    # async: overlap disk write/finalize with training
+                    self.saver.save(global_step, state, block=False)
                     last_saved = global_step
+            if self.preempt is not None and self.preempt.poll(
+                    sync=_crossed(global_step, self.k,
+                                  self.preempt.sync_every)):
+                flush()
+                self.preempted = True
+                LOGGER.warning(
+                    "preempted at step %d/%d — saving resumable checkpoint "
+                    "and exiting (rerun the same command to resume)",
+                    global_step, self.num_train_steps)
+                break
         flush()
         if profiling:
             jax.profiler.stop_trace()
         assert global_step == int(state.step)
-        if self.saver is not None and last_saved != global_step:
-            self.saver.save(global_step, state)
+        if self.saver is not None:
+            if last_saved != global_step:
+                self.saver.save(global_step, state)
+            elif hasattr(self.saver, "wait"):
+                self.saver.wait()  # make the last async save durable
         self.state = state
         return state
 
@@ -382,6 +409,7 @@ class MixedTaskLoop:
         profile_steps: tuple = (10, 15),
         prefetch: int = 2,
         transfer_dtype=None,
+        preempt=True,
     ):
         self.meta = meta
         self.get_step = get_step
@@ -400,6 +428,11 @@ class MixedTaskLoop:
         self.prefetch = prefetch
         self.transfer_dtype = transfer_dtype
         self._profiling = False
+        from uniter_tpu.training.preempt import PreemptionGuard
+
+        self.preempt = (PreemptionGuard() if preempt is True
+                        else (preempt or None))
+        self.preempted = False
 
     def _counters(self, name, batch):
         n_ex = int(batch["ex_weight"].sum()) if "ex_weight" in batch else int(
@@ -411,6 +444,12 @@ class MixedTaskLoop:
         return n_ex, n_in, n_loss
 
     def run(self):
+        if self.preempt is not None:
+            with self.preempt:
+                return self._run()
+        return self._run()
+
+    def _run(self):
         state = self.state
         guard = NanGuard()
         task2loss: Dict[str, RunningMeter] = {}
@@ -507,13 +546,26 @@ class MixedTaskLoop:
                             {f"valid/{k}": v for k, v in logs.items()},
                             step=global_step)
                 if self.saver is not None:
-                    self.saver.save(global_step, state)
+                    # async: overlap disk write/finalize with training
+                    self.saver.save(global_step, state, block=False)
                     last_saved = global_step
+            if self.preempt is not None and self.preempt.poll(
+                    sync=global_step % self.preempt.sync_every == 0):
+                flush()
+                self.preempted = True
+                LOGGER.warning(
+                    "preempted at step %d/%d — saving resumable checkpoint "
+                    "and exiting (rerun the same command to resume)",
+                    global_step, self.num_train_steps)
+                break
         flush()
         if self._profiling:
             jax.profiler.stop_trace()
         assert global_step == int(state.step)
-        if self.saver is not None and last_saved != global_step:
-            self.saver.save(global_step, state)
+        if self.saver is not None:
+            if last_saved != global_step:
+                self.saver.save(global_step, state)
+            elif hasattr(self.saver, "wait"):
+                self.saver.wait()  # make the last async save durable
         self.state = state
         return state

@@ -1,0 +1,107 @@
+"""Graceful preemption handling for preemptible/spot TPU VMs.
+
+The reference has no failure-recovery story at all (SURVEY §5: "a rank
+failure kills the job"; optimizer-state save was an unfinished TODO,
+reference utils/save.py:70-73). On TPU, maintenance events and spot
+reclaims deliver SIGTERM with a short grace window — a production loop
+must cut a resumable checkpoint and exit cleanly instead of dying
+mid-step.
+
+``PreemptionGuard`` installs a SIGTERM handler around the training loop.
+The handler only sets a flag; the loop polls it at step boundaries and,
+when set, flushes metrics, saves the full train state (Orbax — exact
+resume is already tested), and returns. Multi-host runs are lockstep
+(same global batch plan on every host), so the stop decision must be
+SPMD-consistent: the locally-seen flag is agreed across hosts with a
+pickle-allgather at a fixed step cadence (``sync_every``), and every
+host stops at the same step even if only one received the signal.
+"""
+
+from __future__ import annotations
+
+import signal
+import threading
+from typing import Optional
+
+import jax
+
+from uniter_tpu.utils.logger import LOGGER
+
+
+class PreemptionGuard:
+    """Poll-based SIGTERM latch with multi-host agreement.
+
+    Use as a context manager around the hot loop; ``poll(sync=...)``
+    returns True once the run should stop. ``sync`` must be passed True
+    at the same global step on every host (the loops derive it from the
+    lockstep step counter); single-process runs ignore it and stop on
+    the next poll after the signal.
+    """
+
+    #: default multi-host agreement cadence (steps). ~5s of training at
+    #: base-model throughput — well inside GCE's 30s SIGTERM grace.
+    SYNC_EVERY = 100
+
+    def __init__(self, signals=(signal.SIGTERM,), sync_every: int = SYNC_EVERY):
+        self.signals = signals
+        self.sync_every = max(int(sync_every), 1)
+        self._seen = False      # signal arrived on THIS host
+        self._stop = False      # agreed-upon (or single-host) stop
+        self._prev = {}
+        self._installed = False
+
+    # -- signal plumbing ---------------------------------------------------
+    def _handler(self, signum, frame):
+        if not self._seen:
+            LOGGER.warning(
+                "received signal %d — will checkpoint and exit at the next "
+                "step boundary", signum)
+        self._seen = True
+
+    def install(self) -> "PreemptionGuard":
+        if self._installed:
+            return self
+        if threading.current_thread() is not threading.main_thread():
+            # signal.signal only works from the main thread; fall back to
+            # a no-op guard (poll() just returns False).
+            LOGGER.info("PreemptionGuard disabled: not on the main thread")
+            return self
+        for s in self.signals:
+            self._prev[s] = signal.signal(s, self._handler)
+        self._installed = True
+        return self
+
+    def uninstall(self):
+        if not self._installed:
+            return
+        for s, prev in self._prev.items():
+            signal.signal(s, prev)
+        self._prev.clear()
+        self._installed = False
+
+    def __enter__(self):
+        return self.install()
+
+    def __exit__(self, *exc):
+        self.uninstall()
+        return False
+
+    # -- loop-facing API ----------------------------------------------------
+    def poll(self, sync: Optional[bool] = None) -> bool:
+        """True once the run should stop.
+
+        Single-process: stops on the first poll after the local signal.
+        Multi-process: the local flag is agreed via all-hosts gather when
+        ``sync`` is True (the caller passes True at a lockstep cadence so
+        every host runs the collective at the same step).
+        """
+        if self._stop:
+            return True
+        if jax.process_count() == 1:
+            self._stop = self._seen
+            return self._stop
+        if sync:
+            from uniter_tpu.parallel.collectives import all_gather_list
+
+            self._stop = any(all_gather_list(bool(self._seen)))
+        return self._stop

@@ -55,25 +55,56 @@ class TrainStateSaver:
                 max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, step: int, state):
+    def save(self, step: int, state, block: bool = True):
+        """Checkpoint the full train state + a weights-only export.
+
+        ``block=False`` overlaps the disk write/finalize with training:
+        Orbax's async save copies device buffers to host before returning
+        (so later donation of the state by the next step is safe) and
+        writes in the background; the msgpack export similarly snapshots
+        to host here and writes from a thread. Readers (``restore``,
+        ``latest_*``) and the next ``save`` wait for the pending save.
+        """
+        import threading
+
+        import jax
+        import numpy as np
         import orbax.checkpoint as ocp
 
+        self.wait()
         self.mngr.save(
             step,
             args=ocp.args.StandardSave({"params": state.params,
                                         "opt_state": state.opt_state,
                                         "step": state.step}),
         )
-        self.mngr.wait_until_finished()
         # weights-only export for inference (the reference's
-        # model_step_{N}.pt analog, utils/save.py:57-69)
-        save_params_msgpack(
-            os.path.join(self.dir, f"model_step_{step}.msgpack"),
-            state.params)
+        # model_step_{N}.pt analog, utils/save.py:57-69); host snapshot
+        # taken NOW (donation safety), disk write deferred when async
+        host_params = jax.tree.map(np.asarray, state.params)
+        path = os.path.join(self.dir, f"model_step_{step}.msgpack")
+        if block:
+            self.mngr.wait_until_finished()
+            save_params_msgpack(path, host_params)
+        else:
+            t = threading.Thread(
+                target=save_params_msgpack, args=(path, host_params),
+                daemon=False)
+            t.start()
+            self._export_thread = t
+
+    def wait(self):
+        """Block until any pending async save is durable."""
+        self.mngr.wait_until_finished()
+        t = getattr(self, "_export_thread", None)
+        if t is not None:
+            t.join()
+            self._export_thread = None
 
     def latest_params_file(self) -> Optional[str]:
         import re
 
+        self.wait()
         cands = []
         for f in os.listdir(self.dir):
             m = re.match(r"model_step_(\d+)\.msgpack", f)
@@ -84,11 +115,13 @@ class TrainStateSaver:
         return os.path.join(self.dir, max(cands)[1])
 
     def latest_step(self) -> Optional[int]:
+        self.wait()
         return self.mngr.latest_step()
 
     def restore(self, state, step: Optional[int] = None):
         import orbax.checkpoint as ocp
 
+        self.wait()
         step = step if step is not None else self.mngr.latest_step()
         if step is None:
             return None
