@@ -141,30 +141,44 @@ def main(opts):
             TB_LOGGER.add_scalar("loss", val, s)
         pending.clear()
 
-    while global_step < opts.num_train_steps:
-        stacked = next(it)
-        state, metrics = step(state, stacked, rng)  # step folds in state.step
-        global_step += 1
-        pending.append((global_step, metrics["loss"]))
-        if global_step % 100 == 0:
-            flush()
-            # reference telemetry (train_itm_hard_negatives.py:228-237):
-            # mined hard negatives consumed per second
-            dt = time.time() - t_window
-            hn = 100 * opts.train_batch_size * opts.hard_neg_size
-            TB_LOGGER.add_scalar("perf/hn_per_s", hn / dt, global_step)
-            t_window = time.time()
-        if opts.valid_steps and global_step % opts.valid_steps == 0:
-            flush()
-            logs = train_itm.validate_retrieval(model, state.params, val_ds)
-            LOGGER.info("step %d: r_mean %.4f", global_step, logs["r_mean"])
-            TB_LOGGER.log_scalar_dict(
-                {f"valid/{k}": v for k, v in logs.items()})
-            saver.save(global_step, state)
-            last_saved = global_step
+    from uniter_tpu.training.preempt import PreemptionGuard
+
+    with PreemptionGuard() as preempt:
+        while global_step < opts.num_train_steps:
+            stacked = next(it)
+            state, metrics = step(state, stacked, rng)  # folds in state.step
+            global_step += 1
+            pending.append((global_step, metrics["loss"]))
+            if global_step % 100 == 0:
+                flush()
+                # reference telemetry (train_itm_hard_negatives.py:228-237):
+                # mined hard negatives consumed per second
+                dt = time.time() - t_window
+                hn = 100 * opts.train_batch_size * opts.hard_neg_size
+                TB_LOGGER.add_scalar("perf/hn_per_s", hn / dt, global_step)
+                t_window = time.time()
+            if opts.valid_steps and global_step % opts.valid_steps == 0:
+                flush()
+                logs = train_itm.validate_retrieval(
+                    model, state.params, val_ds)
+                LOGGER.info("step %d: r_mean %.4f",
+                            global_step, logs["r_mean"])
+                TB_LOGGER.log_scalar_dict(
+                    {f"valid/{k}": v for k, v in logs.items()})
+                saver.save(global_step, state, block=False)
+                last_saved = global_step
+            if preempt.poll(sync=global_step % preempt.sync_every == 0):
+                flush()
+                LOGGER.warning(
+                    "preempted at step %d/%d — saving resumable checkpoint "
+                    "and exiting (rerun the same command to resume)",
+                    global_step, opts.num_train_steps)
+                break
     flush()
     if last_saved != global_step:
         saver.save(global_step, state)
+    else:
+        saver.wait()
     return state
 
 
