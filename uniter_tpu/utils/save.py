@@ -81,7 +81,17 @@ class TrainStateSaver:
         # weights-only export for inference (the reference's
         # model_step_{N}.pt analog, utils/save.py:57-69); host snapshot
         # taken NOW (donation safety), disk write deferred when async
-        host_params = jax.tree.map(np.asarray, state.params)
+        def to_host(x):
+            # FSDP/multi-host shards are not fully addressable here;
+            # reassemble the global array before serializing
+            if getattr(x, "is_fully_addressable", True):
+                return np.asarray(x)
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+
+        host_params = jax.tree.map(to_host, state.params)
         path = os.path.join(self.dir, f"model_step_{step}.msgpack")
         if block:
             self.mngr.wait_until_finished()
