@@ -119,8 +119,8 @@ def get_parser():
                         choices=["fast", "batched"],
                         help="fast: device-resident tiled scoring; batched: "
                              "per-text minibatches (reference-style)")
-    parser.add_argument("--txt_tile", type=int, default=16)
-    parser.add_argument("--img_tile", type=int, default=32)
+    parser.add_argument("--txt_tile", type=int, default=32)
+    parser.add_argument("--img_tile", type=int, default=64)
     return parser
 
 

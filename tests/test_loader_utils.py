@@ -78,3 +78,108 @@ def test_crossed_boundary_cadence():
         assert len(fired) == 4, (k, fired)  # 500,1000,1500,2000 each once
         assert all(s - k < b <= s for s, b in zip(fired, (500, 1000, 1500,
                                                           2000)))
+
+
+class _SkipDs:
+    """Minimal dataset for BucketLoader plan/RNG tests."""
+    rows_per_example = 1
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def size_of(self, i):
+        return (6, 5)
+
+    def get_record(self, i, rng):
+        return {"idx": i, "noise": int(rng.randint(1_000_000))}
+
+    @staticmethod
+    def collate(recs, t_b, r_b, bs):
+        idx = np.full((bs,), -1, np.int64)
+        noise = np.full((bs,), -1, np.int64)
+        for j, r in enumerate(recs):
+            idx[j] = r["idx"]
+            noise[j] = r["noise"]
+        return {"idx": idx, "noise": noise}
+
+
+def _batches(loader, n):
+    import itertools
+
+    return list(itertools.islice(iter(loader), n))
+
+
+def test_skip_batches_matches_uninterrupted_stream():
+    """skip_batches(k) then read == read from position k: identical example
+    plan AND identical per-record RNG stream (the 'noise' field), across an
+    epoch boundary, with zero record fetches during the skip."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import BucketLoader
+
+    spec = BucketSpec(txt_buckets=(8,), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+
+    def make():
+        return BucketLoader(_SkipDs(40), spec, seed=5, loop=True)
+
+    full = _batches(make(), 10)
+
+    skipping = make()
+    fetched = []
+    orig = _SkipDs.get_record
+    _SkipDs.get_record = lambda s, i, rng: fetched.append(i) or orig(
+        s, i, rng)
+    try:
+        skipping.skip_batches(4)
+        assert fetched == []  # nothing materialized yet
+    finally:
+        _SkipDs.get_record = orig
+    tail = _batches(skipping, 6)
+    for a, b in zip(full[4:], tail):
+        np.testing.assert_array_equal(a["idx"], b["idx"])
+        np.testing.assert_array_equal(a["noise"], b["noise"])
+
+
+def test_loader_identical_across_num_workers():
+    """The per-record seed derivation makes num_workers a pure throughput
+    knob: batches are bit-identical with and without the thread pool."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import BucketLoader
+
+    spec = BucketSpec(txt_buckets=(8,), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+    a = _batches(BucketLoader(_SkipDs(40), spec, seed=5, loop=True), 6)
+    b = _batches(BucketLoader(_SkipDs(40), spec, seed=5, loop=True,
+                              num_workers=3), 6)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+        np.testing.assert_array_equal(x["noise"], y["noise"])
+
+
+def test_meta_loader_skip_steps():
+    """skip_steps(n) then read == read from position n — task draw sequence,
+    per-task loader positions, and a partially consumed accumulation window
+    all carried over."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import BucketLoader, MetaLoader
+
+    spec = BucketSpec(txt_buckets=(8,), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+
+    def make_meta():
+        return MetaLoader(
+            {"mlm": (BucketLoader(_SkipDs(40), spec, seed=5, loop=True), 2),
+             "itm": (BucketLoader(_SkipDs(24), spec, seed=9, loop=True), 1)},
+            accum_steps=3, seed=77)
+
+    full = _batches(make_meta(), 13)
+    skipping = make_meta()
+    skipping.skip_steps(7)  # mid-window: 7 % 3 != 0
+    tail = _batches(skipping, 6)
+    for (t_a, b_a), (t_b, b_b) in zip(full[7:], tail):
+        assert t_a == t_b
+        np.testing.assert_array_equal(b_a["idx"], b_b["idx"])
+        np.testing.assert_array_equal(b_a["noise"], b_b["noise"])

@@ -556,3 +556,100 @@ def test_async_save_is_durable_before_read(tmp_path):
         lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
         exported, state.params))
     assert max(diffs) == 0.0
+
+
+def test_resume_fast_forwards_data_stream(tmp_path):
+    """Resume must continue on the batches the interrupted run never saw —
+    not silently replay from batch 0. With a varying-batch loader, the
+    resumed trajectory equals the uninterrupted one only if TrainLoop
+    fast-forwards the loader to state.step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import BucketLoader
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.training.loop import TrainLoop
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.step import TrainState
+    from uniter_tpu.utils.save import TrainStateSaver
+
+    T, R = 8, 8
+
+    class VaryDs:
+        rows_per_example = 1
+
+        def __len__(self):
+            return 64
+
+        def size_of(self, i):
+            return (T - 2, R - 2)
+
+        def get_record(self, i, rng):
+            r = np.random.RandomState(i * 31 + 7)
+            return dict(
+                input_ids=r.randint(1, 500, (T,)).astype(np.int32),
+                img_feat=r.randn(R, 32).astype(np.float32),
+                img_pos_feat=r.rand(R, 7).astype(np.float32),
+                target=r.rand(5).astype(np.float32),
+            )
+
+        @staticmethod
+        def collate(recs, t_b, r_b, bs):
+            out = dict(
+                input_ids=np.zeros((bs, T), np.int32),
+                position_ids=np.broadcast_to(
+                    np.arange(T, dtype=np.int32), (bs, T)).copy(),
+                img_feat=np.zeros((bs, R, 32), np.float32),
+                img_pos_feat=np.zeros((bs, R, 7), np.float32),
+                attn_mask=np.ones((bs, T + R), np.int32),
+                targets=np.zeros((bs, 5), np.float32),
+            )
+            for j, r in enumerate(recs):
+                out["input_ids"][j] = r["input_ids"]
+                out["img_feat"][j] = r["img_feat"]
+                out["img_pos_feat"][j] = r["img_pos_feat"]
+                out["targets"][j] = r["target"]
+            return out
+
+    spec = BucketSpec(txt_buckets=(T,), img_buckets=(R,),
+                      token_budget=8 * (T + R), size_mul=8)
+
+    cfg = tiny_config()
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=32, num_answer=5)
+    jb = {k: jnp.asarray(v)
+          for k, v in VaryDs.collate([VaryDs().get_record(0, None)],
+                                     T, R, 8).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb, False)[
+        "params"]
+
+    def loss_fn(p, b, r):
+        per = model.apply({"params": p}, b, True, deterministic=True)
+        return jnp.mean(per), {}
+
+    def fresh_state():
+        p0 = jax.tree.map(jnp.array, params)
+        tx = build_optimizer(p0, 1e-3, grad_norm=2.0, weight_decay=0.01)
+        return TrainState.create(p0, tx)
+
+    def make_loop(state, n, saver=None):
+        loader = BucketLoader(VaryDs(), spec, seed=13, loop=True)
+        return TrainLoop(loss_fn=loss_fn, state=state, train_loader=loader,
+                         mesh=None, num_train_steps=n, valid_steps=0,
+                         log_steps=100, seed=3, loss_scale="sum",
+                         saver=saver)
+
+    cont = make_loop(fresh_state(), 4).run()
+
+    saver = TrainStateSaver(str(tmp_path))
+    make_loop(fresh_state(), 2, saver=saver).run()
+    resumed = saver.restore(fresh_state())
+    assert int(resumed.step) == 2
+    final = make_loop(resumed, 4).run()
+
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        cont.params, final.params))
+    assert max(diffs) == 0.0, max(diffs)

@@ -174,11 +174,14 @@ def main(opts):
                     "and exiting (rerun the same command to resume)",
                     global_step, opts.num_train_steps)
                 break
-    flush()
-    if last_saved != global_step:
-        saver.save(global_step, state)
-    else:
-        saver.wait()
+        # final/preemption save INSIDE the guard: a repeated SIGTERM during
+        # the blocking write must not hit the restored default handler and
+        # kill the process mid-checkpoint
+        flush()
+        if last_saved != global_step:
+            saver.save(global_step, state)
+        else:
+            saver.wait()
     return state
 
 

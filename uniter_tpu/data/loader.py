@@ -78,16 +78,31 @@ class BucketLoader:
             rows_per_example=rows,
         )
         self._epoch = 0
+        self._skip = 0  # pending resume fast-forward (see skip_batches)
 
     def _fetch(self, idxs, rng):
+        # per-record RNG streams: one seed draw per record from the loader
+        # stream, each record masked/sampled from its own RandomState. This
+        # makes results identical across num_workers settings AND lets
+        # skip_batches() fast-forward the stream without fetching (the draw
+        # count per batch is just len(idxs), not data-dependent).
+        seeds = rng.randint(2**31, size=len(idxs)).tolist()
         if self._pool is not None:
-            # per-record RNG streams keep results order-independent
-            seeds = [rng.randint(2**31) for _ in idxs]
             return list(self._pool.map(
                 lambda iv: self.dataset.get_record(
                     iv[0], np.random.RandomState(iv[1])),
                 zip(idxs, seeds)))
-        return [self.dataset.get_record(i, rng) for i in idxs]
+        return [self.dataset.get_record(i, np.random.RandomState(s))
+                for i, s in zip(idxs, seeds)]
+
+    def skip_batches(self, n: int):
+        """Resume fast-forward: advance the loader as if ``n`` batches had
+        already been consumed — same plan position, same per-record RNG
+        stream — without fetching a single record. Called by the training
+        loops when restoring a checkpoint mid-epoch, so a resumed run
+        continues on the batches the interrupted run never saw instead of
+        silently replaying from batch 0."""
+        self._skip += int(n)
 
     def _iter_once(self) -> Iterator[Dict[str, Any]]:
         rng = np.random.RandomState(
@@ -106,18 +121,25 @@ class BucketLoader:
         for (t_b, r_b), idxs in self.sampler:
             bs = self.sampler.batch_size((t_b, r_b))
             if n_shards == 1:
-                yield self.collate(self._fetch(idxs, rng), t_b, r_b, bs)
+                my, local_bs = idxs, bs
+            else:
+                # this host's contiguous block of the global batch
+                assert bs % n_shards == 0, (bs, n_shards)
+                local_bs = bs // n_shards
+                my = idxs[p * local_bs:(p + 1) * local_bs]
+                if not my and self.loop:
+                    raise ValueError(
+                        f"dataset too small for {n_shards}-process training: "
+                        f"batch of {len(idxs)} examples leaves shard {p} "
+                        "empty")
+                if not my:
+                    continue  # eval tail handled by this host's peers
+            if self._skip > 0:
+                # resume fast-forward: burn this batch's RNG draws (one per
+                # record, matching _fetch) and move on without fetching
+                self._skip -= 1
+                rng.randint(2**31, size=len(my))
                 continue
-            # this host's contiguous block of the global batch
-            assert bs % n_shards == 0, (bs, n_shards)
-            local_bs = bs // n_shards
-            my = idxs[p * local_bs:(p + 1) * local_bs]
-            if not my and self.loop:
-                raise ValueError(
-                    f"dataset too small for {n_shards}-process training: "
-                    f"batch of {len(idxs)} examples leaves shard {p} empty")
-            if not my:
-                continue  # eval tail handled by this host's peers
             yield self.collate(self._fetch(my, rng), t_b, r_b, local_bs)
 
     def __iter__(self):
@@ -149,8 +171,17 @@ class AccumLoader:
     are buffered per bucket shape so stacking never mixes shapes."""
 
     def __init__(self, it, accum: int):
+        self.base = it
         self.it = iter(it)
         self.accum = accum
+
+    def skip_batches(self, n: int):
+        """Resume fast-forward: n stacked batches = n * accum base batches
+        (only exact when the base loader yields a single bucket shape, which
+        is how the training drivers stack: same-shape grouping is a no-op
+        reorder then)."""
+        if hasattr(self.base, "skip_batches"):
+            self.base.skip_batches(n * self.accum)
 
     def __iter__(self):
         if self.accum == 1:
@@ -189,18 +220,46 @@ class MetaLoader:
             self.names.extend([name] * int(ratio))
         self.accum_steps = accum_steps
         self.rng = np.random.RandomState(seed)
+        self._pending = None  # (task, remaining) partial window after skip
+
+    def skip_steps(self, n: int):
+        """Resume fast-forward: replay n task draws from the shared seeded
+        stream (every host replays identically — the lockstep property the
+        MetaLoader design rests on) and fast-forward each task's loader by
+        the number of batches it would have served. A partially consumed
+        accumulation window is carried over so the next yields finish it."""
+        counts: Dict[str, int] = {}
+        rem = int(n)
+        while rem > 0:
+            task = self.names[self.rng.randint(len(self.names))]
+            take = min(self.accum_steps, rem)
+            counts[task] = counts.get(task, 0) + take
+            if take < self.accum_steps:
+                self._pending = (task, self.accum_steps - take)
+            rem -= take
+        for name, c in counts.items():
+            loader = self.loaders[name]
+            if hasattr(loader, "skip_batches"):
+                loader.skip_batches(c)
+
+    def _next_from(self, task):
+        it = self.iters[task]
+        try:
+            return next(it)
+        except StopIteration:
+            self.iters[task] = iter(self.loaders[task])
+            return next(self.iters[task])
 
     def __iter__(self):
         while True:
-            task = self.names[self.rng.randint(len(self.names))]
-            for _ in range(self.accum_steps):
-                it = self.iters[task]
-                try:
-                    batch = next(it)
-                except StopIteration:
-                    self.iters[task] = iter(self.loaders[task])
-                    batch = next(self.iters[task])
-                yield task, batch
+            if self._pending is not None:
+                task, k = self._pending
+                self._pending = None
+            else:
+                task = self.names[self.rng.randint(len(self.names))]
+                k = self.accum_steps
+            for _ in range(k):
+                yield task, self._next_from(task)
 
 
 class DevicePrefetcher:

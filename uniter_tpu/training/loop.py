@@ -181,6 +181,7 @@ class TrainLoop:
         self.loss_fn = loss_fn
         self.state = state
         self.train_loader = train_loader
+        self._base_loader = train_loader  # pre-wrap ref for resume skip
         self.mesh = mesh
         self.num_train_steps = num_train_steps
         self.accum = gradient_accumulation_steps
@@ -258,6 +259,14 @@ class TrainLoop:
         start_step = int(state.step)
         if start_step > 0:
             LOGGER.info("resuming from step %d", start_step)
+            # fast-forward the data stream to where the interrupted run
+            # stopped — otherwise the resumed run silently replays batches
+            # 0..start_step (k steps consume k stacked batches per call;
+            # accum consumes accum base batches per step)
+            if hasattr(self._base_loader, "skip_batches"):
+                n = start_step * max(self.accum, self.k) // self.k
+                self._base_loader.skip_batches(n)
+                LOGGER.info("fast-forwarded train loader by %d batches", n)
             if self.profile_dir is not None:
                 span = self.profile_steps[1] - self.profile_steps[0]
                 self.profile_steps = (start_step + 2,
@@ -353,10 +362,16 @@ class TrainLoop:
                                   self.preempt.sync_every)):
                 flush()
                 self.preempted = True
-                LOGGER.warning(
-                    "preempted at step %d/%d — saving resumable checkpoint "
-                    "and exiting (rerun the same command to resume)",
-                    global_step, self.num_train_steps)
+                if self.saver is not None:
+                    LOGGER.warning(
+                        "preempted at step %d/%d — saving resumable "
+                        "checkpoint and exiting (rerun the same command to "
+                        "resume)", global_step, self.num_train_steps)
+                else:
+                    LOGGER.warning(
+                        "preempted at step %d/%d — exiting WITHOUT a "
+                        "checkpoint (no saver configured)",
+                        global_step, self.num_train_steps)
                 break
         flush()
         if profiling:
@@ -461,6 +476,12 @@ class MixedTaskLoop:
         last_saved = -1
         if global_step > 0:
             LOGGER.info("resuming from step %d", global_step)
+            # fast-forward the mixed-task stream: replay the task draws and
+            # skip each task loader's consumed batches (no record fetches)
+            if hasattr(self.meta, "skip_steps"):
+                self.meta.skip_steps(global_step)
+                LOGGER.info("fast-forwarded task mix by %d steps",
+                            global_step)
             if self.profile_dir is not None:
                 span = self.profile_steps[1] - self.profile_steps[0]
                 self.profile_steps = (global_step + 2,
@@ -553,10 +574,16 @@ class MixedTaskLoop:
                     sync=global_step % self.preempt.sync_every == 0):
                 flush()
                 self.preempted = True
-                LOGGER.warning(
-                    "preempted at step %d/%d — saving resumable checkpoint "
-                    "and exiting (rerun the same command to resume)",
-                    global_step, self.num_train_steps)
+                if self.saver is not None:
+                    LOGGER.warning(
+                        "preempted at step %d/%d — saving resumable "
+                        "checkpoint and exiting (rerun the same command to "
+                        "resume)", global_step, self.num_train_steps)
+                else:
+                    LOGGER.warning(
+                        "preempted at step %d/%d — exiting WITHOUT a "
+                        "checkpoint (no saver configured)",
+                        global_step, self.num_train_steps)
                 break
         flush()
         if self._profiling:

@@ -38,9 +38,12 @@ class PreemptionGuard:
     the next poll after the signal.
     """
 
-    #: default multi-host agreement cadence (steps). ~5s of training at
-    #: base-model throughput — well inside GCE's 30s SIGTERM grace.
-    SYNC_EVERY = 100
+    #: default multi-host agreement cadence (steps). The gather is a
+    #: cheap host-side DCN collective, so the cadence is set by worst-case
+    #: detection latency: even at ~1 step/s this stays inside GCE's 30s
+    #: SIGTERM grace. Single-process runs stop on the next poll regardless.
+    #: Pass a configured PreemptionGuard to the loop to tune it.
+    SYNC_EVERY = 25
 
     def __init__(self, signals=(signal.SIGTERM,), sync_every: int = SYNC_EVERY):
         self.signals = signals

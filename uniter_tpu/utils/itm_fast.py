@@ -51,7 +51,7 @@ def build_eval_arrays(eval_ds, t_bucket: int, r_bucket: int):
 
 
 def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
-                      txt_tile: int = 16, img_tile: int = 32,
+                      txt_tile: int = 32, img_tile: int = 64,
                       shard_index: int = 0, shard_count: int = 1,
                       dtype="bfloat16", mesh=None):
     """[n_txt_shard, n_img] rank-score matrix + the shard's txt ids.
@@ -62,7 +62,10 @@ def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
     With a ``mesh``, each tile's text axis is additionally sharded over the
     mesh's data axis, so all local chips score pairs concurrently
     (pairs/s/chip is compute-bound at ~5k for uniter-base; multi-chip is
-    the scaling axis for COCO-size evals).
+    the scaling axis for COCO-size evals). Default tile = 2048 pairs/call:
+    measured +10% over 512 on v5e (5125 vs 4650 pairs/s — bigger forward
+    batches amortize scheduling; B>2048 plateaus) while padding waste stays
+    negligible at Flickr/COCO eval sizes.
     """
     import jax
     import jax.numpy as jnp

@@ -93,23 +93,40 @@ class TrainStateSaver:
 
         host_params = jax.tree.map(to_host, state.params)
         path = os.path.join(self.dir, f"model_step_{step}.msgpack")
+        if jax.process_index() != 0:
+            # every host joined the gather above (collective); only one
+            # writes — concurrent writers to the shared dir would race
+            if block:
+                self.mngr.wait_until_finished()
+            return
         if block:
             self.mngr.wait_until_finished()
             save_params_msgpack(path, host_params)
         else:
             t = threading.Thread(
-                target=save_params_msgpack, args=(path, host_params),
-                daemon=False)
+                target=self._export, args=(path, host_params), daemon=False)
             t.start()
             self._export_thread = t
 
+    def _export(self, path, host_params):
+        try:
+            save_params_msgpack(path, host_params)
+        except BaseException as e:  # re-raised by wait()
+            self._export_error = e
+
     def wait(self):
-        """Block until any pending async save is durable."""
+        """Block until any pending async save is durable; surface any
+        export-thread failure (a swallowed ENOSPC would otherwise look like
+        a successful checkpoint)."""
         self.mngr.wait_until_finished()
         t = getattr(self, "_export_thread", None)
         if t is not None:
             t.join()
             self._export_thread = None
+        err = getattr(self, "_export_error", None)
+        if err is not None:
+            self._export_error = None
+            raise err
 
     def latest_params_file(self) -> Optional[str]:
         import re
