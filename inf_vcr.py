@@ -95,7 +95,6 @@ def main(opts):
 
     n_qa, n_qar, n_ex = (sum(v) for v in zip(
         *all_gather_list((n_qa, n_qar, n_ex))))
-    rows_out = [r for part in all_gather_list(rows_out) for r in part]
     os.makedirs(opts.output_dir, exist_ok=True)
     if opts.split == "val":
         logs = {"qa_acc": n_qa / max(n_ex, 1),
@@ -108,6 +107,10 @@ def main(opts):
                       "w") as f:
                 json.dump(logs, f)
         return logs
+    # submission rows are only needed on the CSV path — gathering them on
+    # the val split would move every per-example probability row over DCN
+    # for nothing
+    rows_out = [r for part in all_gather_list(rows_out) for r in part]
     header = (["annot_id"] + [f"answer_{i}" for i in range(4)]
               + [f"rationale_conditioned_on_a{g}_{i}"
                  for g in range(4) for i in range(4)])

@@ -325,3 +325,71 @@ def test_fast_score_matrix_matches_batched(itm_env):
                                    mesh=mesh)
     assert ids8 == ref_ids
     np.testing.assert_allclose(mat8, ref_mat, rtol=1e-5, atol=1e-5)
+
+
+def test_train_itm_hard_negatives_resume_matches_continuous(itm_env):
+    """Interrupted-and-resumed HN training continues on the batches the
+    interrupted run never saw: the driver fast-forwards both mining
+    streams and the i/t alternation to state.step. Batch streams must be
+    bit-identical; params are compared at fp tolerance (the resumed run's
+    freshly placed state compiles a separately laid-out step program, so
+    reduction-order noise at ~1e-5 is expected and benign)."""
+    import jax
+
+    import train_itm_hard_negatives as hn
+    import uniter_tpu.data.loader as loader_mod
+    from uniter_tpu.utils.misc import parse_with_config
+
+    def argv(out, n):
+        return [
+            "--train_txt_db", itm_env["txt"],
+            "--train_img_db", itm_env["img"],
+            "--val_txt_db", itm_env["txt"], "--val_img_db", itm_env["img"],
+            "--model_config", itm_env["cfg"],
+            "--output_dir", itm_env["root"] + out,
+            "--negative_size", "7", "--hard_neg_size", "3",
+            "--num_train_steps", str(n), "--valid_steps", "100",
+            "--warmup_steps", "1", "--train_batch_size", "2",
+            "--max_bb", "8", "--min_bb", "3", "--inf_minibatch_size", "8",
+            "--txt_bucket", "16", "--img_bucket", "8",
+            "--dtype", "float32", "--seed", "7",
+        ]
+
+    captured = []
+    orig_prefetcher = loader_mod.DevicePrefetcher
+
+    class Recording(orig_prefetcher):
+        def __init__(self, it, put, depth=2):
+            def rec():
+                for b in it:
+                    captured.append({k: np.array(v) for k, v in b.items()})
+                    yield b
+            super().__init__(rec(), put, depth)
+
+    loader_mod.DevicePrefetcher = Recording
+    try:
+        cont = hn.main(
+            parse_with_config(hn.get_parser(), argv("/hn_cont", 4)))
+        cont_batches = list(captured)
+        captured.clear()
+        hn.main(parse_with_config(hn.get_parser(), argv("/hn_resume", 2)))
+        captured.clear()
+        final = hn.main(
+            parse_with_config(hn.get_parser(), argv("/hn_resume", 4)))
+        res_batches = list(captured)
+    finally:
+        loader_mod.DevicePrefetcher = orig_prefetcher
+
+    assert int(final.step) == 4
+    # the data contract: the resumed stream IS the continuous stream from
+    # step 3 on — no batch replayed, none skipped
+    assert len(res_batches) >= 2
+    for j in range(2):
+        a, b = cont_batches[2 + j], res_batches[j]
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"step3+{j}:{k}")
+    for a, b in zip(jax.tree.leaves(cont.params),
+                    jax.tree.leaves(final.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

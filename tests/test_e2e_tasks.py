@@ -145,3 +145,68 @@ def test_train_vqa_fsdp_e2e_and_resume(env):
     opts = parse_with_config(train_vqa.get_parser(), argv)
     state = train_vqa.main(opts)  # must restore the sharded state at step 2
     assert int(state.step) == 4
+
+
+def test_pretrain_resume_continues_stream(env):
+    """Pretraining resume fast-forwards the mixed-task stream: the resumed
+    run's (task, batch) sequence equals the uninterrupted run's from
+    state.step on — task draws, per-task loader positions, and per-record
+    mask RNG all carried over (MetaLoader.skip_steps + skip_batches)."""
+    import pretrain
+    import uniter_tpu.data.loader as loader_mod
+    from uniter_tpu.utils.misc import parse_with_config
+
+    def make_opts(out, n):
+        argv = [
+            "--model_config", env["cfg"],
+            "--output_dir", env["root"] + out,
+            "--train_batch_size", "256",
+            "--num_train_steps", str(n), "--valid_steps", "100",
+            "--gradient_accumulation_steps", "2",
+            "--warmup_steps", "2", "--max_bb", "10", "--min_bb", "3",
+            "--dtype", "float32", "--seed", "11",
+        ]
+        opts = parse_with_config(pretrain.get_parser(), argv)
+        opts.train_datasets = [
+            {"name": "synth", "db": env["txt"], "img": env["img"],
+             "tasks": ["mlm", "itm", "mrfr", "mrc-kl"],
+             "mix_ratio": [2, 2, 1, 1]},
+        ]
+        opts.val_datasets = list(opts.train_datasets)
+        return opts
+
+    captured = []
+    orig_prefetcher = loader_mod.DevicePrefetcher
+
+    class Recording(orig_prefetcher):
+        def __init__(self, it, put, depth=2):
+            def rec():
+                for item in it:
+                    name, batch = item
+                    captured.append(
+                        (name, {k: np.array(v) for k, v in batch.items()
+                                if isinstance(v, np.ndarray)}))
+                    yield item
+            super().__init__(rec(), put, depth)
+
+    loader_mod.DevicePrefetcher = Recording
+    try:
+        pretrain.main(make_opts("/pt_cont", 4))
+        cont = list(captured)
+        captured.clear()
+        pretrain.main(make_opts("/pt_resume", 2))
+        captured.clear()
+        final = pretrain.main(make_opts("/pt_resume", 4))
+        res = list(captured)
+    finally:
+        loader_mod.DevicePrefetcher = orig_prefetcher
+
+    assert int(final.step) == 4
+    assert len(res) >= 2
+    for j in range(2):
+        (name_a, a), (name_b, b) = cont[2 + j], res[j]
+        assert name_a == name_b, (j, name_a, name_b)
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k],
+                                          err_msg=f"step3+{j}:{name_a}:{k}")

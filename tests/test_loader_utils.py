@@ -183,3 +183,62 @@ def test_meta_loader_skip_steps():
         assert t_a == t_b
         np.testing.assert_array_equal(b_a["idx"], b_b["idx"])
         np.testing.assert_array_equal(b_a["noise"], b_b["noise"])
+
+
+def test_grouped_accum_skip_multi_bucket():
+    """With AccumLoader's plan grouping, skip_batches(n_stacked * accum) on
+    the base loader is exact even with multiple bucket shapes: every stack
+    is a contiguous same-bucket run, so the resumed stream equals the
+    uninterrupted stream from that position."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import AccumLoader, BucketLoader
+
+    class TwoBucketDs(_SkipDs):
+        def size_of(self, i):
+            return (6, 5) if i % 2 == 0 else (13, 5)
+
+    spec = BucketSpec(txt_buckets=(8, 16), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+
+    def make():
+        return BucketLoader(TwoBucketDs(64), spec, seed=3, loop=True)
+
+    base_a = make()
+    full = _batches(AccumLoader(base_a, 2), 8)
+    for b in full:  # every stack is shape-uniform by construction
+        assert b["idx"].shape[0] == 2
+
+    base_b = make()
+    acc_b = AccumLoader(base_b, 2)
+    base_b.skip_batches(2 * 2)  # TrainLoop's resume formula, start_step=2
+    tail = _batches(acc_b, 6)
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(a["idx"], b["idx"])
+        np.testing.assert_array_equal(a["noise"], b["noise"])
+
+
+def test_hn_loader_skip_matches_stream():
+    """HnLoader.skip_batches(k) == consume k batches: same example order and
+    same per-record mining RNG, across the epoch reshuffle."""
+    import train_itm_hard_negatives as hn
+
+    class FakeHnDs:
+        def __len__(self):
+            return 10
+
+        def get_record(self, i, rng):
+            return {"i": np.full((2, 4), i), "r": rng.rand(2, 4)}
+
+    orig = hn.hard_neg_collate
+    hn.hard_neg_collate = lambda rec, t, r: rec
+    try:
+        a = hn.HnLoader(FakeHnDs(), 16, 8, seed=4)
+        full = [next(a) for _ in range(14)]
+        b = hn.HnLoader(FakeHnDs(), 16, 8, seed=4)
+        b.skip_batches(12)
+        tail = [next(b) for _ in range(2)]
+        for x, y in zip(full[12:], tail):
+            np.testing.assert_array_equal(x["i"], y["i"])
+            np.testing.assert_array_equal(x["r"], y["r"])
+    finally:
+        hn.hard_neg_collate = orig

@@ -34,15 +34,41 @@ from uniter_tpu.utils.save import TrainStateSaver
 import train_itm
 
 
-def hn_loader(ds, t_bucket, r_bucket, seed):
-    """Yield one fixed-shape candidate batch per example, forever."""
-    rng = np.random.RandomState(seed)
-    order = np.arange(len(ds))
-    while True:
-        rng.shuffle(order)
-        for i in order:
-            rec = ds.get_record(int(i), rng)
-            yield hard_neg_collate(rec, t_bucket, r_bucket)
+class HnLoader:
+    """One fixed-shape candidate batch per example, forever. Per-record
+    seed streams (one draw from the loader rng per record) make
+    ``skip_batches`` an exact resume fast-forward with zero fetches —
+    without it a resumed run would replay the mined candidate batches the
+    interrupted run already trained on."""
+
+    def __init__(self, ds, t_bucket, r_bucket, seed):
+        self.ds = ds
+        self.t_bucket = t_bucket
+        self.r_bucket = r_bucket
+        self.rng = np.random.RandomState(seed)
+        self.order = np.arange(len(ds))
+        self.rng.shuffle(self.order)
+        self._pos = 0
+
+    def _advance(self):
+        if self._pos >= len(self.order):
+            self.rng.shuffle(self.order)
+            self._pos = 0
+        i = int(self.order[self._pos])
+        self._pos += 1
+        return i, int(self.rng.randint(2 ** 31))
+
+    def skip_batches(self, n: int):
+        for _ in range(int(n)):
+            self._advance()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        i, rec_seed = self._advance()
+        rec = self.ds.get_record(i, np.random.RandomState(rec_seed))
+        return hard_neg_collate(rec, self.t_bucket, self.r_bucket)
 
 
 def main(opts):
@@ -67,8 +93,8 @@ def main(opts):
     ds_i = ItmRankDatasetHardNegFromImage(
         txt_db, img_db, neg_sample_size=opts.negative_size)
     t_bucket, r_bucket = opts.txt_bucket, opts.img_bucket
-    loader_t = hn_loader(ds_t, t_bucket, r_bucket, opts.seed)
-    loader_i = hn_loader(ds_i, t_bucket, r_bucket, opts.seed + 1)
+    loader_t = HnLoader(ds_t, t_bucket, r_bucket, opts.seed)
+    loader_i = HnLoader(ds_i, t_bucket, r_bucket, opts.seed + 1)
 
     val_txt = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len)
     val_img = driver.open_img_db(opts.val_img_db, opts)
@@ -86,6 +112,15 @@ def main(opts):
     restored = saver.restore(state)
     if restored is not None:
         state = restored
+    # resume fast-forward: each step consumed train_batch_size candidate
+    # batches, strictly alternating image-side / text-side (the cycle below
+    # starts at loader_i), so the two streams split ceil/floor
+    n_consumed = int(state.step) * opts.train_batch_size
+    if n_consumed:
+        loader_i.skip_batches((n_consumed + 1) // 2)
+        loader_t.skip_batches(n_consumed // 2)
+        LOGGER.info("resumed from step %d: fast-forwarded mining streams "
+                    "by %d candidate batches", int(state.step), n_consumed)
 
     def loss_fn(p, batch, rng):
         per_neg = model.apply(
@@ -109,6 +144,8 @@ def main(opts):
 
     def stacked_batches():
         sources = itertools.cycle([loader_i, loader_t])
+        if n_consumed % 2:
+            next(sources)  # continue the alternation where it stopped
         while True:
             batches = [next(next(sources))
                        for _ in range(opts.train_batch_size)]

@@ -80,6 +80,13 @@ class BucketLoader:
         self._epoch = 0
         self._skip = 0  # pending resume fast-forward (see skip_batches)
 
+    def set_group(self, group: int):
+        """Emit same-bucket batches in contiguous runs of ``group`` (see
+        StaticBucketSampler._group_runs). AccumLoader calls this so stacked
+        accumulation batches are plan-contiguous and resume skips land
+        exactly on stack boundaries."""
+        self.sampler.group = max(int(group), 1)
+
     def _fetch(self, idxs, rng):
         # per-record RNG streams: one seed draw per record from the loader
         # stream, each record masked/sampled from its own RandomState. This
@@ -116,6 +123,7 @@ class BucketLoader:
                 self.spec, shuffle=True, seed=self.seed + self._epoch,
                 drop_last=self.sampler.drop_last,
                 rows_per_example=self.sampler.rows_per_example,
+                group=self.sampler.group,
             )
         p, n_shards = self.shard_index, self.shard_count
         for (t_b, r_b), idxs in self.sampler:
@@ -172,14 +180,17 @@ class AccumLoader:
 
     def __init__(self, it, accum: int):
         self.base = it
+        if accum > 1 and hasattr(it, "set_group"):
+            # contiguous same-bucket runs in the plan: stacking becomes a
+            # pure sequential grouping (no cross-shape buffering) and
+            # resume skips are exact at any bucket-grid size
+            it.set_group(accum)
         self.it = iter(it)
         self.accum = accum
 
     def skip_batches(self, n: int):
         """Resume fast-forward: n stacked batches = n * accum base batches
-        (only exact when the base loader yields a single bucket shape, which
-        is how the training drivers stack: same-shape grouping is a no-op
-        reorder then)."""
+        (exact: the base plan is grouped into accum-runs, see __init__)."""
         if hasattr(self.base, "skip_batches"):
             self.base.skip_batches(n * self.accum)
 

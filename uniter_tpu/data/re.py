@@ -61,15 +61,15 @@ def det_fname(image_id) -> str:
 
 
 class ReDataset(JointDataset):
-    def __init__(self, txt_db: ReTxtTokDb, img_db, shard_index=0,
-                 shard_count=1, **kw):
+    def __init__(self, txt_db: ReTxtTokDb, img_db, **kw):
         self.txt_db = txt_db
         self.img_db = img_db
-        # Every process shuffles with the same seeded rng, so the strided
-        # split below hands each one a distinct subset per epoch (the
-        # reference's DistributedSampler role, data/sampler.py:64-115).
-        self.shard_index = shard_index
-        self.shard_count = shard_count
+        # TRAIN sharding lives in BucketLoader (shared global batch plan;
+        # per-host dataset splits would dispatch mismatched SPMD programs) —
+        # the train dataset always spans the full ref list. Per-process
+        # splits exist only on ReEvalDataset (host-local compute + gather).
+        self.shard_index = 0
+        self.shard_count = 1
         self.refresh_ids()
 
     def refresh_ids(self):
@@ -129,9 +129,16 @@ def compute_iou(box1, box2) -> float:
 
 
 class ReEvalDataset(ReDataset):
-    def __init__(self, txt_db, img_db, use_gt_feat=True, **kw):
+    def __init__(self, txt_db, img_db, use_gt_feat=True, shard_index=0,
+                 shard_count=1, **kw):
         self.use_gt_feat = use_gt_feat
         super().__init__(txt_db, img_db, **kw)
+        if shard_count != 1 or shard_index:
+            # eval-only per-process split (every host shuffles the same
+            # seeded rng, so the strided split hands each a distinct subset
+            # — the reference's DistributedSampler role, sampler.py:64-115)
+            self.shard_index, self.shard_count = shard_index, shard_count
+            self.refresh_ids()
 
     def size_of(self, i):
         ex = self.txt_db[self.ids[i]]

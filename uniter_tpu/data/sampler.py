@@ -30,12 +30,14 @@ class StaticBucketSampler:
         seed: int = 0,
         drop_last: bool = False,
         rows_per_example: int = 1,
+        group: int = 1,
     ):
         self.spec = spec
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.rows_per_example = rows_per_example
+        self.group = max(int(group), 1)
         self.buckets: Dict[Tuple[int, int], List[int]] = {}
         for i, (tl, nbb) in enumerate(sizes):
             self.buckets.setdefault(spec.bucket_for(tl, nbb), []).append(i)
@@ -67,18 +69,49 @@ class StaticBucketSampler:
             batches = partial
         if self.shuffle:
             rng.shuffle(batches)
+        if self.group > 1:
+            batches = self._group_runs(batches, rng)
         return iter(batches)
+
+    def _group_runs(self, batches, rng):
+        """Reorder the epoch plan into contiguous runs of ``group``
+        same-bucket batches. Gradient accumulation / steps_per_call stack
+        ``group`` same-shape batches into one [group, B, ...] array; with
+        contiguous runs the stacker never buffers across shapes, every
+        stack boundary falls on a plan boundary, and a resume skip of
+        N base batches is exact. Partial runs are dropped like partial
+        batches under drop_last (kept when the epoch has no full run, so
+        tiny datasets still make progress)."""
+        per: Dict[Tuple[int, int], List] = {}
+        for b in batches:
+            per.setdefault(b[0], []).append(b)
+        runs, partial = [], []
+        for lst in per.values():
+            for st in range(0, len(lst), self.group):
+                run = lst[st:st + self.group]
+                (runs if len(run) == self.group else partial).append(run)
+        if not self.drop_last or not runs:
+            runs += partial
+        if self.shuffle:
+            rng.shuffle(runs)
+        return [b for run in runs for b in run]
 
     def __len__(self):
         n = 0
         n_partial = 0
+        per_bucket = []
         for bucket, idxs in self.buckets.items():
             bs = self.batch_size(bucket)
             full, rem = divmod(len(idxs), bs)
-            n += full + (0 if (self.drop_last or rem == 0) else 1)
+            cnt = full + (0 if (self.drop_last or rem == 0) else 1)
+            per_bucket.append(cnt)
+            n += cnt
             n_partial += int(rem > 0)
         if n == 0:
             return n_partial  # see __iter__: partials kept when all-partial
+        if self.group > 1 and self.drop_last:
+            g = sum((c // self.group) * self.group for c in per_bucket)
+            return g if g else n  # no full run -> partial runs kept
         return n
 
 

@@ -39,23 +39,6 @@ from uniter_tpu.ops.layer_norm import layer_norm
 MASK_VALUE = -10000.0  # additive padding bias, reference model/model.py:345
 
 
-class Drop(nn.Module):
-    """Config-policied dropout (``config.dropout_impl``: "xla" keeps flax
-    nn.Dropout semantics; "u16" halves the random-bit HBM traffic —
-    ops/dropout.py)."""
-
-    config: UniterConfig
-    rate: float
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        skip = deterministic or self.rate == 0.0
-        rng = None if skip else self.make_rng("dropout")
-        return dropout_op(x, self.rate, rng,
-                          impl=self.config.dropout_impl,
-                          deterministic=skip)
-
-
 class DropResLN(nn.Module):
     """``LayerNorm(dropout(x) + res)`` — the tail of both BERT sub-blocks
     (reference model/layer.py:104-127,158-170). Param layout matches a plain

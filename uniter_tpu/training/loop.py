@@ -100,6 +100,9 @@ def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False,
             if multi:
                 if not local:
                     p, n = jax.process_index(), jax.process_count()
+                    assert v.shape[axis] % n == 0, (
+                        f"batch axis {v.shape[axis]} ({k}) not divisible by "
+                        f"{n} processes — rows would be silently dropped")
                     blk = v.shape[axis] // n
                     sl = [slice(None)] * v.ndim
                     sl[axis] = slice(p * blk, (p + 1) * blk)
