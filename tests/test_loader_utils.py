@@ -242,3 +242,31 @@ def test_hn_loader_skip_matches_stream():
             np.testing.assert_array_equal(x["r"], y["r"])
     finally:
         hn.hard_neg_collate = orig
+
+
+def test_grouped_partial_runs_carry_across_epochs():
+    """A bucket with fewer than `group` batches per epoch must NOT be
+    silently excluded: its partial run rolls into the next epoch and
+    completes there (dropping it would permanently exclude those
+    examples from accumulated training)."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import AccumLoader, BucketLoader
+
+    class SkewDs(_SkipDs):
+        # 8 long examples -> exactly 1 batch/epoch in the big bucket;
+        # 32 short ones -> 4 batches/epoch in the small bucket
+        def size_of(self, i):
+            return (13, 5) if i < 8 else (6, 5)
+
+    spec = BucketSpec(txt_buckets=(8, 16), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+    loader = BucketLoader(SkewDs(40), spec, seed=2, loop=True)
+    acc = AccumLoader(loader, 2)
+
+    long_seen = set()
+    for b in _batches(acc, 24):  # ~4 epochs of plan
+        ids = set(int(x) for x in b["idx"].ravel() if x >= 0)
+        if ids and min(ids) < 8:
+            assert all(x < 8 for x in ids), "stack mixed bucket shapes"
+            long_seen |= ids
+    assert long_seen == set(range(8)), long_seen

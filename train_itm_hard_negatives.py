@@ -139,7 +139,7 @@ def main(opts):
 
     from uniter_tpu.data.loader import DevicePrefetcher
     from uniter_tpu.training.loop import (
-        NanGuard, default_prng_key, device_put_batch,
+        NanGuard, default_prng_key, device_put_batch, warn_preempted,
     )
 
     def stacked_batches():
@@ -206,10 +206,7 @@ def main(opts):
                 last_saved = global_step
             if preempt.poll(sync=global_step % preempt.sync_every == 0):
                 flush()
-                LOGGER.warning(
-                    "preempted at step %d/%d — saving resumable checkpoint "
-                    "and exiting (rerun the same command to resume)",
-                    global_step, opts.num_train_steps)
+                warn_preempted(global_step, opts.num_train_steps, True)
                 break
         # final/preemption save INSIDE the guard: a repeated SIGTERM during
         # the blocking write must not hit the restored default handler and

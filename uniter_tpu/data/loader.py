@@ -118,6 +118,7 @@ class BucketLoader:
         new_epoch = getattr(self.dataset, "new_epoch", None)
         if new_epoch is not None and self._epoch > 1:
             new_epoch(rng)
+            carry = getattr(self.sampler, "_carry", {})
             self.sampler = StaticBucketSampler(
                 [self.dataset.size_of(i) for i in range(len(self.dataset))],
                 self.spec, shuffle=True, seed=self.seed + self._epoch,
@@ -125,6 +126,7 @@ class BucketLoader:
                 rows_per_example=self.sampler.rows_per_example,
                 group=self.sampler.group,
             )
+            self.sampler._carry = carry  # grouped partial runs roll over
         p, n_shards = self.shard_index, self.shard_count
         for (t_b, r_b), idxs in self.sampler:
             bs = self.sampler.batch_size((t_b, r_b))
@@ -254,12 +256,16 @@ class MetaLoader:
                 loader.skip_batches(c)
 
     def _next_from(self, task):
-        it = self.iters[task]
-        try:
-            return next(it)
-        except StopIteration:
-            self.iters[task] = iter(self.loaders[task])
-            return next(self.iters[task])
+        # A resume skip can burn whole epochs of a non-looping loader, so
+        # several back-to-back recreations may be needed before a batch
+        # appears; a bare next() after one refill would raise StopIteration
+        # inside the generator frame (PEP 479 -> RuntimeError).
+        for _ in range(100_000):
+            try:
+                return next(self.iters[task])
+            except StopIteration:
+                self.iters[task] = iter(self.loaders[task])
+        raise ValueError(f"task {task!r}: loader yields no batches")
 
     def __iter__(self):
         while True:

@@ -67,9 +67,10 @@ class ReDataset(JointDataset):
         # TRAIN sharding lives in BucketLoader (shared global batch plan;
         # per-host dataset splits would dispatch mismatched SPMD programs) —
         # the train dataset always spans the full ref list. Per-process
-        # splits exist only on ReEvalDataset (host-local compute + gather).
-        self.shard_index = 0
-        self.shard_count = 1
+        # splits exist only on ReEvalDataset (host-local compute + gather),
+        # which sets the shard fields before this runs.
+        self.shard_index = getattr(self, "shard_index", 0)
+        self.shard_count = getattr(self, "shard_count", 1)
         self.refresh_ids()
 
     def refresh_ids(self):
@@ -132,13 +133,12 @@ class ReEvalDataset(ReDataset):
     def __init__(self, txt_db, img_db, use_gt_feat=True, shard_index=0,
                  shard_count=1, **kw):
         self.use_gt_feat = use_gt_feat
+        # eval-only per-process split (strided over the shared-seed order —
+        # the reference's DistributedSampler role, sampler.py:64-115); set
+        # before super() so the single refresh_ids pass builds the shard
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         super().__init__(txt_db, img_db, **kw)
-        if shard_count != 1 or shard_index:
-            # eval-only per-process split (every host shuffles the same
-            # seeded rng, so the strided split hands each a distinct subset
-            # — the reference's DistributedSampler role, sampler.py:64-115)
-            self.shard_index, self.shard_count = shard_index, shard_count
-            self.refresh_ids()
 
     def size_of(self, i):
         ex = self.txt_db[self.ids[i]]

@@ -79,19 +79,33 @@ class StaticBucketSampler:
         ``group`` same-shape batches into one [group, B, ...] array; with
         contiguous runs the stacker never buffers across shapes, every
         stack boundary falls on a plan boundary, and a resume skip of
-        N base batches is exact. Partial runs are dropped like partial
-        batches under drop_last (kept when the epoch has no full run, so
-        tiny datasets still make progress)."""
+        N base batches is exact.
+
+        Under drop_last a bucket's leftover partial run is CARRIED into
+        the bucket's next epoch (prepended) rather than dropped —
+        dropping would permanently exclude any bucket with fewer than
+        ``group`` batches per epoch from training. When an epoch has no
+        full run at all (tiny datasets) the partials are emitted so the
+        loader still makes progress."""
         per: Dict[Tuple[int, int], List] = {}
         for b in batches:
             per.setdefault(b[0], []).append(b)
+        if self.drop_last:
+            for key, lst in getattr(self, "_carry", {}).items():
+                per.setdefault(key, [])[:0] = lst
+            self._carry = {}
         runs, partial = [], []
-        for lst in per.values():
+        for key, lst in per.items():
             for st in range(0, len(lst), self.group):
                 run = lst[st:st + self.group]
-                (runs if len(run) == self.group else partial).append(run)
+                if len(run) == self.group:
+                    runs.append(run)
+                else:
+                    partial.append((key, run))
         if not self.drop_last or not runs:
-            runs += partial
+            runs += [r for _, r in partial]
+        else:
+            self._carry = {key: r for key, r in partial}
         if self.shuffle:
             rng.shuffle(runs)
         return [b for run in runs for b in run]

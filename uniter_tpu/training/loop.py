@@ -135,6 +135,19 @@ def _clamp_profile(profile_steps, num_train_steps):
     return (start, stop)
 
 
+def warn_preempted(step: int, total: int, has_saver: bool):
+    """Shared preemption exit message (TrainLoop / MixedTaskLoop / the
+    hard-negative driver's bespoke loop)."""
+    if has_saver:
+        LOGGER.warning(
+            "preempted at step %d/%d — saving resumable checkpoint and "
+            "exiting (rerun the same command to resume)", step, total)
+    else:
+        LOGGER.warning(
+            "preempted at step %d/%d — exiting WITHOUT a checkpoint "
+            "(no saver configured)", step, total)
+
+
 class NanGuard:
     """Abort after ``limit`` consecutive non-finite losses (checked at flush
     boundaries on the deferred values; the last good checkpoint stays
@@ -264,12 +277,12 @@ class TrainLoop:
             LOGGER.info("resuming from step %d", start_step)
             # fast-forward the data stream to where the interrupted run
             # stopped — otherwise the resumed run silently replays batches
-            # 0..start_step (k steps consume k stacked batches per call;
-            # accum consumes accum base batches per step)
+            # 0..start_step. One stacked batch serves k steps; AccumLoader
+            # owns the stacked->base conversion.
             if hasattr(self._base_loader, "skip_batches"):
-                n = start_step * max(self.accum, self.k) // self.k
-                self._base_loader.skip_batches(n)
-                LOGGER.info("fast-forwarded train loader by %d batches", n)
+                self.train_loader.skip_batches(start_step // self.k)
+                LOGGER.info("fast-forwarded train loader to step %d",
+                            start_step)
             if self.profile_dir is not None:
                 span = self.profile_steps[1] - self.profile_steps[0]
                 self.profile_steps = (start_step + 2,
@@ -365,16 +378,8 @@ class TrainLoop:
                                   self.preempt.sync_every)):
                 flush()
                 self.preempted = True
-                if self.saver is not None:
-                    LOGGER.warning(
-                        "preempted at step %d/%d — saving resumable "
-                        "checkpoint and exiting (rerun the same command to "
-                        "resume)", global_step, self.num_train_steps)
-                else:
-                    LOGGER.warning(
-                        "preempted at step %d/%d — exiting WITHOUT a "
-                        "checkpoint (no saver configured)",
-                        global_step, self.num_train_steps)
+                warn_preempted(global_step, self.num_train_steps,
+                               self.saver is not None)
                 break
         flush()
         if profiling:
@@ -577,16 +582,8 @@ class MixedTaskLoop:
                     sync=global_step % self.preempt.sync_every == 0):
                 flush()
                 self.preempted = True
-                if self.saver is not None:
-                    LOGGER.warning(
-                        "preempted at step %d/%d — saving resumable "
-                        "checkpoint and exiting (rerun the same command to "
-                        "resume)", global_step, self.num_train_steps)
-                else:
-                    LOGGER.warning(
-                        "preempted at step %d/%d — exiting WITHOUT a "
-                        "checkpoint (no saver configured)",
-                        global_step, self.num_train_steps)
+                warn_preempted(global_step, self.num_train_steps,
+                               self.saver is not None)
                 break
         flush()
         if self._profiling:
