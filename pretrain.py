@@ -206,10 +206,9 @@ def main(opts):
         raw = create_dataloaders(opts.val_datasets, opts, mesh, train=False)
         val_loaders = {name: loader for name, (loader, _r) in raw.items()}
 
-    tx = build_optimizer(
-        params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
-                                opts.num_train_steps),
-        **driver.optim_kwargs(opts))
+    sched = get_lr_schedule(opts.learning_rate, opts.warmup_steps,
+                            opts.num_train_steps)
+    tx = build_optimizer(params, sched, **driver.optim_kwargs(opts))
     from uniter_tpu.training.loop import place_state
 
     state = place_state(TrainState.create(params, tx), mesh)
@@ -252,7 +251,8 @@ def main(opts):
         validate_fn=validate_fn, saver=saver, seed=opts.seed,
         accum=accum > 1, loss_units_fn=pretrain_loss_units,
         profile_dir=getattr(opts, "profile_dir", None),
-        transfer_dtype=None if cdt == jnp.float32 else cdt)
+        transfer_dtype=None if cdt == jnp.float32 else cdt,
+        lr_schedule=sched)
     return loop.run()
 
 

@@ -115,10 +115,9 @@ def main(opts):
                    for name, (loader, ratio) in loaders.items()}
     meta = MetaLoader(loaders, accum_steps=1, seed=opts.seed)
 
-    tx = build_optimizer(
-        params, get_lr_schedule(opts.learning_rate, opts.warmup_steps,
-                                opts.num_train_steps),
-        **driver.optim_kwargs(opts))
+    sched = get_lr_schedule(opts.learning_rate, opts.warmup_steps,
+                            opts.num_train_steps)
+    tx = build_optimizer(params, sched, **driver.optim_kwargs(opts))
     state = place_state(TrainState.create(params, tx), mesh)
     saver = TrainStateSaver(opts.output_dir)
     restored = saver.restore(state)
@@ -163,7 +162,8 @@ def main(opts):
         accum=opts.gradient_accumulation_steps > 1,
         loss_units_fn=pretrain_loss_units,
         profile_dir=getattr(opts, "profile_dir", None),
-        transfer_dtype=None if cdt == jnp.float32 else cdt)
+        transfer_dtype=None if cdt == jnp.float32 else cdt,
+        lr_schedule=sched)
     return loop.run()
 
 

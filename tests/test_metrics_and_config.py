@@ -116,3 +116,58 @@ def test_moment_dtype_requires_fused():
     O.fused_adamw = 1
     kw = optim_kwargs(O())
     assert kw["fused"] and kw["nu_dtype"] is not None
+
+
+def test_trainloop_emits_reference_scalars():
+    """The log window emits the reference's TB scalar set: loss, grad_norm,
+    lr (train_nlvr2.py:183-205), perf/ex_per_s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.training.loop import TrainLoop
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.sched import get_lr_schedule
+    from uniter_tpu.training.step import TrainState
+    from uniter_tpu.utils import logger as logger_mod
+
+    cfg = tiny_config()
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=32, num_answer=5)
+    rng = np.random.RandomState(0)
+    host = dict(
+        input_ids=rng.randint(1, 500, (8, 8)).astype(np.int32),
+        position_ids=np.broadcast_to(
+            np.arange(8, dtype=np.int32), (8, 8)).copy(),
+        img_feat=rng.randn(8, 8, 32).astype(np.float32),
+        img_pos_feat=rng.rand(8, 8, 7).astype(np.float32),
+        attn_mask=np.ones((8, 16), np.int32),
+        targets=rng.rand(8, 5).astype(np.float32),
+    )
+    jb = {k: jnp.asarray(v) for k, v in host.items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb, False)[
+        "params"]
+    sched = get_lr_schedule(1e-3, 1, 10)
+    tx = build_optimizer(params, sched, grad_norm=2.0, weight_decay=0.01)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(p, b, r):
+        per = model.apply({"params": p}, b, True, deterministic=True)
+        return jnp.mean(per), {}
+
+    def loader():
+        while True:
+            yield host
+
+    seen = []
+    orig = logger_mod.TB_LOGGER.add_scalar
+    logger_mod.TB_LOGGER.add_scalar = (
+        lambda name, val, step=None: seen.append(name))
+    try:
+        TrainLoop(loss_fn=loss_fn, state=state, train_loader=loader(),
+                  mesh=None, num_train_steps=2, valid_steps=0, log_steps=2,
+                  seed=0, lr_schedule=sched).run()
+    finally:
+        logger_mod.TB_LOGGER.add_scalar = orig
+    assert {"loss", "grad_norm", "lr", "perf/ex_per_s"} <= set(seen), seen

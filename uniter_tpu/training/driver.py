@@ -263,10 +263,10 @@ def bucket_spec(opts, mesh, dataset, budget=None) -> BucketSpec:
 
 def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
                  validate_fn=None, lr_mul_paths: Sequence[str] = ()):
+    sched = get_lr_schedule(opts.learning_rate, opts.warmup_steps,
+                            opts.num_train_steps)
     tx = build_optimizer(
-        params,
-        get_lr_schedule(opts.learning_rate, opts.warmup_steps,
-                        opts.num_train_steps),
+        params, sched,
         lr_mul=getattr(opts, "lr_mul", 1.0), lr_mul_paths=lr_mul_paths,
         **optim_kwargs(opts))
     state = place_state(TrainState.create(params, tx), mesh,
@@ -293,7 +293,7 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         seed=opts.seed, profile_dir=getattr(opts, "profile_dir", None),
         transfer_dtype=None if cdt == jnp.float32 else cdt,
         steps_per_call=getattr(opts, "steps_per_call", 1),
-        warmup_batches=warmup)
+        warmup_batches=warmup, lr_schedule=sched)
     state = loop.run()
     LOGGER.info("training finished at step %d", int(state.step))
     return state

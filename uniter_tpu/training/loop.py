@@ -193,6 +193,7 @@ class TrainLoop:
         steps_per_call: int = 1,
         warmup_batches=None,
         preempt=True,
+        lr_schedule=None,
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -225,6 +226,7 @@ class TrainLoop:
             self.train_loader = AccumLoader(train_loader,
                                             max(self.accum, self.k))
         self.warmup_batches = warmup_batches
+        self.lr_schedule = lr_schedule
         from uniter_tpu.training.preempt import PreemptionGuard
 
         self.preempt = (PreemptionGuard() if preempt is True
@@ -355,6 +357,12 @@ class TrainLoop:
                 TB_LOGGER.add_scalar("loss", meter.val, global_step)
                 TB_LOGGER.add_scalar(
                     "grad_norm", float(metrics["grad_norm"]), global_step)
+                if self.lr_schedule is not None:
+                    # reference logs the live lr each window
+                    # (train_nlvr2.py:196-198)
+                    TB_LOGGER.add_scalar(
+                        "lr", float(self.lr_schedule(global_step)),
+                        global_step)
                 TB_LOGGER.add_scalar("perf/ex_per_s", ex_per_s, global_step)
                 LOGGER.info(
                     "step %d/%d loss %.4f (%.1f ex/s)",
@@ -433,8 +441,10 @@ class MixedTaskLoop:
         prefetch: int = 2,
         transfer_dtype=None,
         preempt=True,
+        lr_schedule=None,
     ):
         self.meta = meta
+        self.lr_schedule = lr_schedule
         self.get_step = get_step
         self.state = state
         self.mesh = mesh
@@ -546,6 +556,10 @@ class MixedTaskLoop:
                 TB_LOGGER.log_scalar_dict(
                     {m.name: m.val for m in task2loss.values()
                      if m.val is not None}, step=global_step)
+                if self.lr_schedule is not None:
+                    TB_LOGGER.add_scalar(
+                        "lr", float(self.lr_schedule(global_step)),
+                        global_step)
                 tot_ex = sum(n_examples.values())
                 TB_LOGGER.add_scalar(
                     "perf/ex_per_s", tot_ex / dt, global_step)
