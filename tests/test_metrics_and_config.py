@@ -171,3 +171,32 @@ def test_trainloop_emits_reference_scalars():
     finally:
         logger_mod.TB_LOGGER.add_scalar = orig
     assert {"loss", "grad_norm", "lr", "perf/ex_per_s"} <= set(seen), seen
+
+
+def test_check_token_range_catches_missing_widening():
+    """The TPU embedding gather clips OOB ids silently (XLA), so the driver
+    fails fast when sampled records exceed the model's vocab/type tables."""
+    import pytest as _pytest
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.training.driver import check_token_range
+
+    class Ds:
+        def __init__(self, ids, tids=()):
+            self.ids, self.tids = ids, tids
+
+        def __len__(self):
+            return 4
+
+        def get_record(self, i, rng):
+            return {"input_ids": self.ids, "txt_type_ids": list(self.tids)}
+
+    cfg = tiny_config()  # vocab 512, type_vocab 2
+    check_token_range(cfg, Ds([1, 5, 511]))  # in range: fine
+    with _pytest.raises(ValueError, match="vocab_size"):
+        check_token_range(cfg, Ds([1, 512]))
+    with _pytest.raises(ValueError, match="type_vocab_size"):
+        check_token_range(cfg, Ds([1], tids=[0, 3]))
+    # nested per-choice lists (VCR-style records)
+    with _pytest.raises(ValueError, match="vocab_size"):
+        check_token_range(cfg, Ds([[1, 2], [700]]))

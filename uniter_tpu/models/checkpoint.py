@@ -350,33 +350,8 @@ def export_state_dict(params: Dict[str, Any], *, trunk: str = "uniter",
 # ---------------------------------------------------------------------------
 
 
-def widen_type_embedding(params, n_types: int, *, copy_row: int,
-                         rng: np.random.RandomState, init_std: float = 0.02,
-                         trunk: str = "uniter"):
-    """Widen token_type_embeddings to ``n_types`` rows.
-
-    Rows 0/1 are copied from the checkpoint; new rows are copied from
-    ``copy_row`` (NLVR2 copies row 1 -> row 2, nlvr2.py:29-33; VCR copies
-    row 0 -> rows 2,3, vcr.py:35-40).
-    """
-    node = params[trunk]["embeddings"]["token_type_embeddings"]
-    old = np.asarray(node["embedding"])
-    h = old.shape[1]
-    new = rng.normal(0.0, init_std, (n_types, h)).astype(old.dtype)
-    new[: old.shape[0]] = old
-    for i in range(old.shape[0], n_types):
-        new[i] = old[copy_row]
-    node["embedding"] = jnp.asarray(new)
-    return params
-
-
-def widen_word_embedding(params, n_special: int, *,
-                         rng: np.random.RandomState, init_std: float = 0.02,
-                         trunk: str = "uniter"):
-    """Append ``n_special`` freshly-initialized word rows (VCR +81 tokens,
-    reference model/vcr.py:43-50)."""
-    node = params[trunk]["embeddings"]["word_embeddings"]
-    old = np.asarray(node["embedding"])
-    extra = rng.normal(0.0, init_std, (n_special, old.shape[1])).astype(old.dtype)
-    node["embedding"] = jnp.asarray(np.concatenate([old, extra], axis=0))
-    return params
+# Widening surgeries (type-row copy for NLVR2/VCR, +81 VCR word rows) are
+# applied by training/driver.py:load_trunk_checkpoint while merging the
+# checkpoint into freshly initialized params — new rows keep their flax
+# init unless the reference copies a specific row (nlvr2.py:29-33,
+# vcr.py:35-50).

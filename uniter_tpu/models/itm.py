@@ -64,7 +64,12 @@ class UniterForImageTextRetrieval(nn.Module):
 class UniterForImageTextRetrievalHardNeg(UniterForImageTextRetrieval):
     """Score n_candidates (pos at index 0), mine top-``hard_size`` negatives,
     train on [pos + hard] (itm.py:58-139). Same param layout as the base
-    (reference uses inheritance, so checkpoints are interchangeable)."""
+    (reference uses inheritance, so checkpoints are interchangeable).
+
+    Batch contract: the WHOLE batch is ONE candidate group — row 0 is the
+    positive, rows 1..N are real negatives for that positive, no padding
+    rows (``hard_neg_collate`` builds exactly this). Multiple groups per
+    batch would let top_k mix negatives across positives."""
 
     hard_size: int = 16
 
@@ -72,6 +77,10 @@ class UniterForImageTextRetrievalHardNeg(UniterForImageTextRetrieval):
                  sample_size: int = 2, deterministic: bool = True):
         if not compute_loss:
             return self.predict(batch, deterministic=deterministic)
+        n_cand = batch["input_ids"].shape[0]
+        assert n_cand > self.hard_size, (
+            f"hard_size={self.hard_size} needs > hard_size candidate rows, "
+            f"got {n_cand} (batch must be one [pos + negatives] group)")
         # 1) no-grad scoring pass over all candidates (eval mode: no dropout)
         scores = jax.lax.stop_gradient(
             self.predict(batch, deterministic=True)

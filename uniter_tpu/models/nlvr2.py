@@ -2,7 +2,7 @@
 
 Reference: /root/reference/model/nlvr2.py. All three widen the token-type
 table to 3 rows (left image type 1, right image type 2); the widening itself
-is a checkpoint surgery (checkpoint.widen_type_embedding, reference
+is a checkpoint surgery (driver.load_trunk_checkpoint, reference
 nlvr2.py:26-34 copies row 1 into row 2).
 
 Paired format: examples arrive as 2 consecutive rows (left, right); the pair

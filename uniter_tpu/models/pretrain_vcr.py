@@ -4,7 +4,7 @@ Reference: /root/reference/model/pretrain_vcr.py. Identical computation to
 UniterForPretraining with ``txt_type_ids`` flowing through the batch dict
 (encode_batch already forwards them); the VCR-specific 4-row type table and
 +81 special word rows are checkpoint surgeries
-(checkpoint.widen_type_embedding / widen_word_embedding; reference
+(driver.load_trunk_checkpoint widening; reference
 pretrain_vcr.py:12-32) combined with a config whose
 ``type_vocab_size=4`` / ``vocab_size += 81``.
 """

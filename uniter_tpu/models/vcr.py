@@ -1,8 +1,7 @@
 """VCR task model: per-candidate binary ranking.
 
 Reference: /root/reference/model/vcr.py. Requires the 4-row token-type table
-and +81 special word rows (checkpoint surgeries widen_type_embedding /
-widen_word_embedding; reference vcr.py:32-50). Train loss is CE over the
+and +81 special word rows (driver.load_trunk_checkpoint widening surgeries; reference vcr.py:32-50). Train loss is CE over the
 2-way score per candidate row; inference returns column 1 (vcr.py:72-77).
 """
 

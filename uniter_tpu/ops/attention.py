@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from uniter_tpu.ops.common import interpret_mode, pick_row_block
 from jax.experimental import pallas as pl
 
 try:
@@ -31,11 +32,6 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _interpret() -> bool:
-    # CPU test coverage for the kernels (tests set this env var)
-    import os
-
-    return os.environ.get("UNITER_PALLAS_INTERPRET") == "1"
 
 
 
@@ -215,7 +211,7 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate, native=False):
     )
     return pl.pallas_call(
         kernel,
-        interpret=_interpret(),
+        interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid_spec=grid_spec,
     )(seed, q, k, v, bias)
@@ -241,7 +237,7 @@ def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native=False):
     )
     return pl.pallas_call(
         kernel,
-        interpret=_interpret(),
+        interpret=interpret_mode(),
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         grid_spec=grid_spec,
     )(seed, q, k, v, bias, g)

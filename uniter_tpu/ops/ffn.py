@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from uniter_tpu.ops.common import interpret_mode, pick_row_block
 from jax.experimental import pallas as pl
 
 try:
@@ -23,11 +24,6 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _interpret() -> bool:
-    # CPU test coverage for the kernels (tests set this env var)
-    import os
-
-    return os.environ.get("UNITER_PALLAS_INTERPRET") == "1"
 
 
 from uniter_tpu.ops.activations import gelu
@@ -63,23 +59,18 @@ def _ffn_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def _pick_row_block(n: int) -> int:
-    for cand in (512, 256, 128, 64, 32, 16, 8):
-        if n % cand == 0:
-            return cand
-    return n
 
 
 def _ffn_pallas_raw(x2, w1, b1, w2, b2):
     rows, d_in = x2.shape
     d_mid = w1.shape[1]
     d_out = w2.shape[1]
-    blk = _pick_row_block(rows)
+    blk = pick_row_block(rows, max_block=512)
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _ffn_fwd_kernel,
-        interpret=_interpret(),
+        interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((rows, d_out), x2.dtype),
         grid=(rows // blk,),
         in_specs=[
@@ -106,15 +97,18 @@ def _ffn_fwd(x2, w1, b1, w2, b2):
 
 def _ffn_bwd(res, g):
     # Recompute the intermediate; backward in plain XLA (fused well there).
+    # The recompute uses the SAME polynomial erf as the forward kernel so
+    # h and the gelu cdf are the derivative of the actual primal (mixing
+    # jax.lax.erf here would fail strict fp32 fwd/bwd-consistency checks).
     x2, w1, b1, w2, b2 = res
     x32 = x2.astype(jnp.float32)
     pre = x32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
-    h = gelu(pre)
+    h = _gelu_kernel(pre)
     g32 = g.astype(jnp.float32)
     dh = g32 @ w2.astype(jnp.float32).T
     # erf-gelu derivative
     inv_sqrt2 = 0.7071067811865476
-    cdf = 0.5 * (1.0 + jax.lax.erf(pre * inv_sqrt2))
+    cdf = 0.5 * (1.0 + _erf_poly(pre * inv_sqrt2))
     pdf = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
     dpre = dh * (cdf + pre * pdf)
     dx = (dpre @ w1.astype(jnp.float32).T).astype(x2.dtype)

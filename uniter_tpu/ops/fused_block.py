@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from uniter_tpu.ops.common import interpret_mode, pick_row_block
 from jax.experimental import pallas as pl
 
 try:
@@ -32,10 +33,6 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _interpret() -> bool:
-    import os
-
-    return os.environ.get("UNITER_PALLAS_INTERPRET") == "1"
 
 
 def _keep_mask(seed_ref, rate, shape):
@@ -107,11 +104,6 @@ def _bwd_kernel(seed_ref, x_ref, res_ref, w_ref, g_ref,
         db_ref[...] += pb
 
 
-def _pick_row_block(n_rows: int) -> int:
-    for cand in (256, 128, 64, 32, 16, 8):
-        if n_rows % cand == 0:
-            return cand
-    return n_rows
 
 
 def _row_specs(blk, d):
@@ -129,7 +121,7 @@ def _drop_res_ln_fwd_raw(x, res, weight, bias, seed, rate, eps):
     x2 = x.reshape(-1, d)
     res2 = res.reshape(-1, d)
     rows = x2.shape[0]
-    blk = _pick_row_block(rows)
+    blk = pick_row_block(rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(rows // blk,),
@@ -138,7 +130,7 @@ def _drop_res_ln_fwd_raw(x, res, weight, bias, seed, rate, eps):
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, rate=rate, eps=eps),
-        interpret=_interpret(),
+        interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid_spec=grid_spec,
     )(seed, x2, res2, weight, bias)
@@ -152,7 +144,7 @@ def _drop_res_ln_bwd_raw(x, res, weight, seed, rate, eps, g):
     res2 = res.reshape(-1, d)
     g2 = g.reshape(-1, d)
     rows = x2.shape[0]
-    blk = _pick_row_block(rows)
+    blk = pick_row_block(rows)
     n_blk = rows // blk
     acc_spec = pl.BlockSpec((8, d), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -166,7 +158,7 @@ def _drop_res_ln_bwd_raw(x, res, weight, seed, rate, eps, g):
     )
     dx, dres, dw_p, db_p = pl.pallas_call(
         functools.partial(_bwd_kernel, rate=rate, eps=eps),
-        interpret=_interpret(),
+        interpret=interpret_mode(),
         out_shape=[
             jax.ShapeDtypeStruct((rows, d), x.dtype),
             jax.ShapeDtypeStruct((rows, d), x.dtype),
@@ -250,7 +242,7 @@ def _ln_drop_fwd_raw(x, weight, bias, seed, rate, eps):
     d = shape[-1]
     x2 = x.reshape(-1, d)
     rows = x2.shape[0]
-    blk = _pick_row_block(rows)
+    blk = pick_row_block(rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(rows // blk,),
@@ -259,7 +251,7 @@ def _ln_drop_fwd_raw(x, weight, bias, seed, rate, eps):
     )
     out = pl.pallas_call(
         functools.partial(_ln_drop_fwd_kernel, rate=rate, eps=eps),
-        interpret=_interpret(),
+        interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid_spec=grid_spec,
     )(seed, x2, weight, bias)
@@ -272,7 +264,7 @@ def _ln_drop_bwd_raw(x, weight, seed, rate, eps, g):
     x2 = x.reshape(-1, d)
     g2 = g.reshape(-1, d)
     rows = x2.shape[0]
-    blk = _pick_row_block(rows)
+    blk = pick_row_block(rows)
     acc_spec = pl.BlockSpec((8, d), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -283,7 +275,7 @@ def _ln_drop_bwd_raw(x, weight, seed, rate, eps, g):
     )
     dx, dw_p, db_p = pl.pallas_call(
         functools.partial(_ln_drop_bwd_kernel, rate=rate, eps=eps),
-        interpret=_interpret(),
+        interpret=interpret_mode(),
         out_shape=[
             jax.ShapeDtypeStruct((rows, d), x.dtype),
             jax.ShapeDtypeStruct((8, d), jnp.float32),

@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from uniter_tpu.ops.common import interpret_mode, pick_row_block
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend is unavailable in some CPU-only builds
@@ -23,11 +24,6 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _interpret() -> bool:
-    # CPU test coverage for the kernels (tests set this env var)
-    import os
-
-    return os.environ.get("UNITER_PALLAS_INTERPRET") == "1"
 
 
 def _layer_norm_xla(x, weight, bias, eps):
@@ -48,11 +44,6 @@ def _ln_fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, eps):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _pick_row_block(n_rows: int) -> int:
-    for cand in (256, 128, 64, 32, 16, 8):
-        if n_rows % cand == 0:
-            return cand
-    return n_rows
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
@@ -61,11 +52,11 @@ def _layer_norm_pallas(x, weight, bias, eps):
     d = orig_shape[-1]
     x2 = x.reshape(-1, d)
     rows = x2.shape[0]
-    blk = _pick_row_block(rows)
+    blk = pick_row_block(rows)
     grid = (rows // blk,)
     out = pl.pallas_call(
         functools.partial(_ln_fwd_kernel, eps=eps),
-        interpret=_interpret(),
+        interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         grid=grid,
         in_specs=[

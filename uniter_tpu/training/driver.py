@@ -261,6 +261,44 @@ def bucket_spec(opts, mesh, dataset, budget=None) -> BucketSpec:
         size_mul=max(8, dp * rows))
 
 
+def check_token_range(model_cfg, dataset, n_samples: int = 32):
+    """Fail fast on out-of-range ids. The TPU embedding gather clips OOB
+    indices to the last table row (XLA semantics) instead of raising like
+    torch nn.Embedding — a missing vocab/type widening (VCR's +81 special
+    tokens, NLVR2/VCR type rows) would otherwise train silently on wrong
+    embeddings. Samples a strided subset of records at startup."""
+    import numpy as np
+
+    n = len(dataset)
+    if n == 0:
+        return
+    def deep_max(v):
+        # per-choice/paired records nest id lists (VCR, NLVR2)
+        if isinstance(v, (list, tuple)):
+            vals = [m for m in (deep_max(x) for x in v) if m is not None]
+            return max(vals) if vals else None
+        arr = np.asarray(v)
+        return int(arr.max()) if arr.size else None
+
+    rng = np.random.RandomState(0)
+    for i in range(0, n, max(1, n // n_samples)):
+        rec = dataset.get_record(i, rng)
+        if not isinstance(rec, dict):
+            return  # non-dict record shapes: nothing to check here
+        m = deep_max(rec.get("input_ids", ()))
+        if m is not None and m >= model_cfg.vocab_size:
+            raise ValueError(
+                f"token id {m} >= vocab_size {model_cfg.vocab_size} "
+                f"(record {i}) — missing vocab widening? (VCR needs +81 "
+                "special rows; see load_trunk_checkpoint)")
+        m = deep_max(rec.get("txt_type_ids", ()))
+        if m is not None and m >= model_cfg.type_vocab_size:
+            raise ValueError(
+                f"type id {m} >= type_vocab_size "
+                f"{model_cfg.type_vocab_size} (record {i}) — missing "
+                "type-row widening?")
+
+
 def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
                  validate_fn=None, lr_mul_paths: Sequence[str] = ()):
     sched = get_lr_schedule(opts.learning_rate, opts.warmup_steps,
@@ -276,6 +314,9 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
     if restored is not None:
         state = restored
         LOGGER.info("resumed from step %d", int(state.step))
+    ds = getattr(train_loader, "dataset", None)
+    if ds is not None:
+        check_token_range(model.config, ds)
     # bf16 on the wire: the model casts img features to its compute dtype
     # anyway, so transferring them pre-cast halves host->device bytes
     cdt = model.config.compute_dtype
