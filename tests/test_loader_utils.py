@@ -270,3 +270,85 @@ def test_grouped_partial_runs_carry_across_epochs():
             assert all(x < 8 for x in ids), "stack mixed bucket shapes"
             long_seen |= ids
     assert long_seen == set(range(8)), long_seen
+
+
+def test_distributed_sampler_partitions_every_epoch():
+    """Reference-parity DistributedSampler: shards partition the padded id
+    set each epoch, epoch changes reshuffle, equal per-shard lengths."""
+    from uniter_tpu.data.sampler import DistributedSampler
+
+    def shard_lists(epoch):
+        out = []
+        for p in range(3):
+            s = DistributedSampler(10, shard_index=p, shard_count=3,
+                                   shuffle=True, seed=4)
+            s.set_epoch(epoch)
+            out.append(list(s))
+        return out
+
+    parts = shard_lists(0)
+    assert all(len(p) == 4 for p in parts)  # padded 12 / 3
+    flat = [i for p in parts for i in p]
+    assert set(flat) == set(range(10))  # every id covered
+    assert shard_lists(1) != parts  # epoch reshuffles
+
+
+def test_concat_dataset_attr_semantics():
+    """ConcatDataset must behave like a dataset under the loader's probes:
+    rows_per_example is a value (not a closure), absent attributes raise
+    AttributeError (hasattr probes!), and method fan-out still works when
+    every child has the method."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.datasets import ConcatDataset
+    from uniter_tpu.data.loader import BucketLoader
+
+    class Child(_SkipDs):
+        def __init__(self, n):
+            super().__init__(n)
+            self.lens = [11] * n
+            self.epochs = 0
+
+        def new_epoch(self, rng):
+            self.epochs += 1
+
+    a, b = Child(16), Child(24)
+    cat = ConcatDataset([a, b])
+    assert cat.rows_per_example == 1  # value, not a closure
+    assert not hasattr(cat, "definitely_missing")
+    cat.new_epoch(np.random.RandomState(0))  # fans out
+    assert a.epochs == 1 and b.epochs == 1
+    assert len(cat) == 40 and cat.size_of(17) == (6, 5)
+
+    # end-to-end through the loader (multi-corpus pretraining shape)
+    spec = BucketSpec(txt_buckets=(8,), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+    loader = BucketLoader(cat, spec, collate=_SkipDs.collate, seed=1,
+                          loop=True)
+    got = _batches(loader, 7)  # > one epoch: exercises new_epoch fan-out
+    assert len(got) == 7 and a.epochs >= 2
+
+
+def test_eval_loader_reiterates_identically():
+    """loop=False loaders replay the SAME pass each time: same order, same
+    per-record RNG, and the dataset's new_epoch is never invoked —
+    validation metrics stay comparable across validation rounds."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import BucketLoader
+
+    class EpochDs(_SkipDs):
+        epochs = 0
+
+        def new_epoch(self, rng):
+            type(self).epochs += 1
+
+    spec = BucketSpec(txt_buckets=(8,), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+    loader = BucketLoader(EpochDs(24), spec, seed=9, shuffle=False,
+                          loop=False, drop_last=False)
+    first = list(iter(loader))
+    second = list(iter(loader))
+    assert EpochDs.epochs == 0  # eval never mutates the dataset
+    assert len(first) == len(second) > 0
+    for x, y in zip(first, second):
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+        np.testing.assert_array_equal(x["noise"], y["noise"])

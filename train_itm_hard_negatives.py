@@ -216,6 +216,7 @@ def main(opts):
             saver.save(global_step, state)
         else:
             saver.wait()
+    it.close()  # release the prefetcher's device buffers
     return state
 
 

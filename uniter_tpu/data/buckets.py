@@ -75,20 +75,6 @@ def spec_from_dataset(dataset, token_budget: int,
                       token_budget=token_budget, size_mul=size_mul)
 
 
-def pad_1d(arr, length, pad=0, dtype=None):
-    arr = np.asarray(arr)
-    out = np.full((length,), pad, dtype=dtype or arr.dtype)
-    out[: len(arr)] = arr[:length]
-    return out
-
-
-def pad_2d(arr, length, pad=0.0, dtype=None):
-    arr = np.asarray(arr)
-    out = np.full((length, arr.shape[1]), pad, dtype=dtype or arr.dtype)
-    out[: arr.shape[0]] = arr[:length]
-    return out
-
-
 # Field specs: key -> (segment, pad_value). Segment in
 # {"txt", "img", "none"} controls which bucket axis pads the field.
 FieldSpec = Dict[str, Tuple[str, float]]

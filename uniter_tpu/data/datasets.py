@@ -87,8 +87,22 @@ class ConcatDataset:
         d, j = self._locate(i)
         return d.size_of(j)
 
+    @property
+    def rows_per_example(self) -> int:
+        vals = {getattr(d, "rows_per_example", 1) for d in self.datasets}
+        assert len(vals) == 1, f"mixed rows_per_example: {vals}"
+        return vals.pop()
+
     def __getattr__(self, name):
-        # fan method calls out to children (reference data/data.py:288-295)
+        # Fan METHOD calls out to children (reference data/data.py:288-295)
+        # — but only for names every child actually has: a catch-all would
+        # defeat the loader's getattr/hasattr probes (e.g. a missing
+        # new_epoch must look absent, not return a closure that raises
+        # mid-epoch).
+        if name.startswith("_") or not all(
+                hasattr(d, name) for d in self.datasets):
+            raise AttributeError(name)
+
         def run_all(*a, **kw):
             return [getattr(d, name)(*a, **kw) for d in self.datasets]
         return run_all

@@ -95,7 +95,9 @@ class DetectFeatDb:
         else:
             fnames = [k for k in self.store.keys() if k != "__keys__"]
         for fname in fnames:
-            confs = self._decode(self.store[fname])["conf"]
+            # only conf is needed; decoding the full record would
+            # materialize features + soft_labels (~10x the bytes) per file
+            confs = self._decode(self.store[fname], keys=("conf",))["conf"]
             out[fname] = compute_num_bb(
                 confs, self.conf_th, self.min_bb, self.max_bb)
         return out

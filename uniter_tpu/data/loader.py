@@ -114,19 +114,30 @@ class BucketLoader:
     def _iter_once(self) -> Iterator[Dict[str, Any]]:
         rng = np.random.RandomState(
             (self.seed * 1_000_003 + self._epoch) % (2**31))
-        self._epoch += 1
-        new_epoch = getattr(self.dataset, "new_epoch", None)
-        if new_epoch is not None and self._epoch > 1:
-            new_epoch(rng)
-            carry = getattr(self.sampler, "_carry", {})
-            self.sampler = StaticBucketSampler(
-                [self.dataset.size_of(i) for i in range(len(self.dataset))],
-                self.spec, shuffle=True, seed=self.seed + self._epoch,
-                drop_last=self.sampler.drop_last,
-                rows_per_example=self.sampler.rows_per_example,
-                group=self.sampler.group,
-            )
-            self.sampler._carry = carry  # grouped partial runs roll over
+        if self.loop:
+            # epoch progression is a TRAINING concept. An eval loader
+            # (loop=False) replays the identical pass every time it is
+            # re-iterated: same per-record RNG, no dataset new_epoch()
+            # resample, no plan reshuffle — validation metrics stay
+            # comparable across rounds (the reference validates on fixed
+            # pairings).
+            self._epoch += 1
+            new_epoch = getattr(self.dataset, "new_epoch", None)
+            if new_epoch is not None and self._epoch > 1:
+                new_epoch(rng)
+                # NOTE: grouped partial-run carry dies with the old
+                # sampler here — the resample invalidates the carried
+                # batches' indices and bucket keys; next epoch re-plans
+                # those examples anyway.
+                self.sampler = StaticBucketSampler(
+                    [self.dataset.size_of(i)
+                     for i in range(len(self.dataset))],
+                    self.spec, shuffle=self.sampler.shuffle,
+                    seed=self.seed + self._epoch,
+                    drop_last=self.sampler.drop_last,
+                    rows_per_example=self.sampler.rows_per_example,
+                    group=self.sampler.group,
+                )
         p, n_shards = self.shard_index, self.shard_count
         for (t_b, r_b), idxs in self.sampler:
             bs = self.sampler.batch_size((t_b, r_b))
@@ -287,16 +298,39 @@ class DevicePrefetcher:
         self.it = it
         self.device_put = device_put
         self.q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        self._stop = False
         self.thread = threading.Thread(target=self._work, daemon=True)
         self.thread.start()
 
     def _work(self):
         try:
             for item in self.it:
+                if self._stop:
+                    return
                 self.q.put(self.device_put(item))
+                if self._stop:
+                    return
         except Exception as e:  # surface in consumer
             self.q.put(e)
         self.q.put(StopIteration)
+
+    def close(self):
+        """Stop the worker and drop its buffered batches. The loops break
+        out of infinite loaders after num_train_steps; without this the
+        worker stays blocked in q.put holding `depth` device-resident
+        batches in HBM for the rest of the process."""
+        self._stop = True
+        while self.thread.is_alive():
+            try:
+                self.q.get_nowait()  # free a slot so a blocked put returns
+            except queue_mod.Empty:
+                pass
+            self.thread.join(timeout=0.05)
+        while True:  # release any remaining device buffers
+            try:
+                self.q.get_nowait()
+            except queue_mod.Empty:
+                break
 
     def __iter__(self):
         return self

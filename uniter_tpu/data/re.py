@@ -87,9 +87,17 @@ class ReDataset(JointDataset):
         self.refresh_ids()
 
     def size_of(self, i):
-        ex = self.txt_db[self.ids[i]]
-        fname = gt_fname(ex["image_id"])
-        return self.txt_lens[i] + 2, self.img_db.name2nbb[fname]
+        # sent -> image_id never changes; cache it so the O(N) sampler
+        # (re)builds don't decompress every text record per epoch
+        sid = self.ids[i]
+        cache = getattr(self, "_sid2nbb", None)
+        if cache is None:
+            cache = self._sid2nbb = {}
+        nbb = cache.get(sid)
+        if nbb is None:
+            fname = gt_fname(self.txt_db[sid]["image_id"])
+            nbb = cache[sid] = self.img_db.name2nbb[fname]
+        return self.txt_lens[i] + 2, nbb
 
     def get_record(self, i: int, rng=None):
         ex = self.txt_db[self.ids[i]]

@@ -7,8 +7,9 @@ their static (T, R) bucket, shuffles within groups, and emits
 program count is bounded by the bucket grid; padding waste replaces
 recompiles.
 
-``DistributedSampler`` (epoch-based, used by RE — reference
-data/sampler.py:64-121) pads to divisibility and strides by shard.
+``DistributedSampler`` (epoch-based — reference data/sampler.py:64-121)
+pads to divisibility and strides by shard; parity primitive, the in-tree
+RE paths shard via the loader plan / eval-dataset split instead.
 """
 
 from __future__ import annotations
@@ -132,7 +133,9 @@ class StaticBucketSampler:
 class DistributedSampler:
     """Epoch-based per-shard sampler (reference data/sampler.py:64-121):
     pad indices to a multiple of shard_count, epoch-seeded shuffle, stride
-    by shard."""
+    by shard. Kept as the reference-parity primitive for epoch-style
+    sharding; the in-tree RE paths shard via the BucketLoader plan (train)
+    and ReEvalDataset's strided split (eval) instead."""
 
     def __init__(self, n: int, shard_index: int = 0, shard_count: int = 1,
                  shuffle: bool = True, seed: int = 0):

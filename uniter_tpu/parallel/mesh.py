@@ -157,20 +157,6 @@ def opt_state_sharding(opt_state: Any, tx, param_shardings: Any, mesh: Mesh):
 
 
 def param_sharding_tp(params: Any, mesh: Mesh):
-    """Megatron-style TP specs over the 'model' axis (replicated elsewhere).
-    Compose with FSDP by passing a mesh with both axes sized > 1."""
-    from uniter_tpu.models.checkpoint import flatten  # path utils
-
-    flat = flatten(params)
-    specs = {
-        path: NamedSharding(mesh, _tp_spec(path, leaf.shape, mesh))
-        for path, leaf in flat.items()
-    }
-    out = {}
-    for path, s in specs.items():
-        node = out
-        parts = path.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = s
-    return out
+    """Megatron-style TP specs over the 'model' axis (replicated elsewhere,
+    no FSDP composition) — param_sharding_full with fsdp off."""
+    return param_sharding_full(params, mesh, MeshConfig(fsdp=False))

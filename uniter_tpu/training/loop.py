@@ -262,10 +262,16 @@ class TrainLoop:
                     len(self.warmup_batches), time.time() - t0)
 
     def run(self):
-        if self.preempt is not None:
-            with self.preempt:
-                return self._run()
-        return self._run()
+        try:
+            if self.preempt is not None:
+                with self.preempt:
+                    return self._run()
+            return self._run()
+        finally:
+            it = getattr(self, "_it", None)
+            if it is not None and hasattr(it, "close"):
+                it.close()  # release the prefetcher's device buffers
+            self._it = None
 
     def _run(self):
         state = self.state
@@ -310,6 +316,7 @@ class TrainLoop:
 
             it = DevicePrefetcher(iter(self.train_loader), put,
                                   depth=self.prefetch)
+            self._it = it
         else:
             it = (
                 (host_weight(b),
@@ -477,10 +484,16 @@ class MixedTaskLoop:
         return n_ex, n_in, n_loss
 
     def run(self):
-        if self.preempt is not None:
-            with self.preempt:
-                return self._run()
-        return self._run()
+        try:
+            if self.preempt is not None:
+                with self.preempt:
+                    return self._run()
+            return self._run()
+        finally:
+            it = getattr(self, "_it", None)
+            if it is not None and hasattr(it, "close"):
+                it.close()  # release the prefetcher's device buffers
+            self._it = None
 
     def _run(self):
         state = self.state
@@ -516,6 +529,7 @@ class MixedTaskLoop:
             from uniter_tpu.data.loader import DevicePrefetcher
 
             it = DevicePrefetcher(iter(self.meta), put, depth=self.prefetch)
+            self._it = it
         else:
             it = (put(item) for item in iter(self.meta))
 
