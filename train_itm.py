@@ -132,9 +132,10 @@ def main(opts):
             {"params": p}, batch, True, sample_size=sample_size,
             deterministic=False, rngs={"dropout": rng})  # [G, sample-1]
         w = batch["ex_weight"].reshape(-1, sample_size)[:, :1]
+        # reference: plain mean over ALL [G, sample-1] triplet terms
+        # (train_itm.py:164-165) — no per-group rescale
         return (jnp.sum(per_group * w)
-                / jnp.maximum(jnp.sum(w) * (sample_size - 1), 1.0)
-                * (sample_size - 1)), {}
+                / jnp.maximum(jnp.sum(w) * (sample_size - 1), 1.0)), {}
 
     def validate_fn(state, step):
         logs = validate_retrieval(model, state.params, val_ds)

@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uniter_tpu.data.buckets import BucketSpec
 from uniter_tpu.data.img_db import DetectFeatDb
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.nlvr2 import Nlvr2PairedDataset, Nlvr2TripletDataset
@@ -99,25 +98,25 @@ def main(opts):
     mesh = driver.setup_run(opts, model_cfg)
 
     train_ds = build_dataset(opts.train_txt_db, opts.train_img_db, opts, True)
-    dp = mesh.shape["data"]
-    rows = getattr(train_ds, "rows_per_example", 1)
-    size_mul = max(8, dp * rows)
-    spec = BucketSpec(token_budget=opts.train_batch_size, size_mul=size_mul)
+    # dataset-derived buckets: the triplet model concatenates both images
+    # in one row (up to 2*max_bb regions) — a raw BucketSpec capped at 100
+    # img rows would silently truncate the second image
+    spec = driver.bucket_spec(opts, mesh, train_ds)
     train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True,
                                 **driver.shard_kw(),
                                num_workers=opts.n_workers)
     val_ds = build_dataset(opts.val_txt_db, opts.val_img_db, opts, False)
     val_loader = BucketLoader(
-        val_ds, BucketSpec(token_budget=opts.val_batch_size,
-                           size_mul=size_mul),
+        val_ds, driver.bucket_spec(opts, mesh, val_ds,
+                                   budget=opts.val_batch_size),
         shuffle=False, drop_last=False, **driver.shard_kw())
     test_loader = None
     if opts.test_txt_db and opts.test_img_db:
         test_ds = build_dataset(opts.test_txt_db, opts.test_img_db, opts,
                                 False)
         test_loader = BucketLoader(
-            test_ds, BucketSpec(token_budget=opts.val_batch_size,
-                                size_mul=size_mul),
+            test_ds, driver.bucket_spec(opts, mesh, test_ds,
+                                        budget=opts.val_batch_size),
             shuffle=False, drop_last=False, **driver.shard_kw())
 
     paired = opts.model in ("paired", "paired-attn")
@@ -161,7 +160,7 @@ def get_parser():
     parser.add_argument("--test_img_db", type=str)
     parser.add_argument("--model", default="paired-attn",
                         choices=list(MODEL_REGISTRY))
-    parser.add_argument("--use_img_type", action="store_true", default=True)
+    parser.add_argument("--use_img_type", type=int, default=1)
     # reference recipe defaults (config/train-nlvr2-base-1gpu.json)
     parser.set_defaults(train_batch_size=10240, val_batch_size=10240,
                         learning_rate=3e-5, valid_steps=500,

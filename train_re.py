@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from uniter_tpu.data.buckets import spec_from_dataset
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.re import ReDataset, ReEvalDataset, ReTxtTokDb, compute_iou
 from uniter_tpu.models.re import UniterForReferringExpressionComprehension
@@ -75,9 +76,12 @@ def main(opts):
 
     val_txt = ReTxtTokDb(opts.val_txt_db, max_txt_len=-1)
     val_img = driver.open_img_db(opts.val_img_db, opts)
+    val_ds = ReEvalDataset(val_txt, val_img, use_gt_feat=True)
     val_loader = BucketLoader(
-        ReEvalDataset(val_txt, val_img, use_gt_feat=True),
-        driver.bucket_spec(opts, mesh, train_ds, opts.val_batch_size),
+        # grid from the VAL dataset itself: the val db is untruncated
+        # (max_txt_len=-1) and uses gt features — a train-derived spec
+        # would silently cut long expressions (inf_re.py parity)
+        val_ds, spec_from_dataset(val_ds, opts.val_batch_size),
         shuffle=False, drop_last=False, **driver.shard_kw())
 
     def loss_fn(p, batch, rng):
@@ -88,6 +92,10 @@ def main(opts):
         # reference RE loss is SUMMED over examples (train_re.py:195)
         return jnp.sum(per_ex * w), {}
 
+    # The loss is already the GLOBAL sum (grads == the reference's
+    # denom-1 allreduce of per-rank sums); the default loss_scale="sum"
+    # would multiply by dp on top — dp x the reference gradient.
+
     def validate_fn(state, step):
         logs = evaluate(model, state.params, val_loader)
         LOGGER.info("step %d: val IoU acc %.4f", step, logs["acc"])
@@ -96,7 +104,7 @@ def main(opts):
     return driver.run_training(
         opts, model=model, params=params, loss_fn=loss_fn,
         train_loader=train_loader, mesh=mesh, validate_fn=validate_fn,
-        lr_mul_paths=("re_",))
+        lr_mul_paths=("re_",), loss_scale="mean")
 
 
 def get_parser():

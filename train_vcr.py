@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uniter_tpu.data.datasets import ConcatDataset
+from uniter_tpu.data.buckets import spec_from_dataset
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.vcr import VcrDataset, VcrEvalDataset, VcrTxtTokDb
 from uniter_tpu.models.vcr import (
@@ -106,7 +107,10 @@ def main(opts):
         img_db_gt=driver.open_img_db(opts.val_img_db_gt, opts),
         img_db=driver.open_img_db(opts.val_img_db, opts))
     val_loader = BucketLoader(
-        val_ds, driver.bucket_spec(opts, mesh, val_ds, opts.val_batch_size),
+        # grid from the VAL dataset itself: the val db is untruncated
+        # (max_txt_len=-1); an opts.max_txt_len-capped spec would silently
+        # cut long rationales (inf_vcr.py parity)
+        val_ds, spec_from_dataset(val_ds, opts.val_batch_size),
         shuffle=False, drop_last=False, collate=VcrEvalDataset.collate,
         **driver.shard_kw())
 

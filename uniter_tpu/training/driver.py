@@ -300,7 +300,8 @@ def check_token_range(model_cfg, dataset, n_samples: int = 32):
 
 
 def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
-                 validate_fn=None, lr_mul_paths: Sequence[str] = ()):
+                 validate_fn=None, lr_mul_paths: Sequence[str] = (),
+                 loss_scale: str = "sum"):
     sched = get_lr_schedule(opts.learning_rate, opts.warmup_steps,
                             opts.num_train_steps)
     tx = build_optimizer(
@@ -334,7 +335,7 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         seed=opts.seed, profile_dir=getattr(opts, "profile_dir", None),
         transfer_dtype=None if cdt == jnp.float32 else cdt,
         steps_per_call=getattr(opts, "steps_per_call", 1),
-        warmup_batches=warmup, lr_schedule=sched)
+        warmup_batches=warmup, lr_schedule=sched, loss_scale=loss_scale)
     state = loop.run()
     LOGGER.info("training finished at step %d", int(state.step))
     return state

@@ -35,8 +35,14 @@ def model_config_from_meta(model_json: dict, **overrides) -> UniterConfig:
 
 
 def resolve_ckpt(train_dir: str, ckpt: Optional[str] = None) -> str:
-    """Pick an explicit snapshot file, or the latest model_step_N.msgpack."""
-    if ckpt and os.path.exists(ckpt):
+    """Pick an explicit snapshot file, or the latest model_step_N.msgpack.
+
+    An explicitly requested path that does not exist is an ERROR — silently
+    falling back to the latest snapshot would report results for the wrong
+    checkpoint."""
+    if ckpt:
+        if not os.path.exists(ckpt):
+            raise FileNotFoundError(f"--ckpt {ckpt} does not exist")
         return ckpt
     import re
 

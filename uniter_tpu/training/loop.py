@@ -574,6 +574,9 @@ class MixedTaskLoop:
                     TB_LOGGER.add_scalar(
                         "lr", float(self.lr_schedule(global_step)),
                         global_step)
+                # reference logs grad_norm every window (pretrain.py:330-332)
+                TB_LOGGER.add_scalar(
+                    "grad_norm", float(metrics["grad_norm"]), global_step)
                 tot_ex = sum(n_examples.values())
                 TB_LOGGER.add_scalar(
                     "perf/ex_per_s", tot_ex / dt, global_step)
