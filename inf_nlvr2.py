@@ -37,9 +37,11 @@ def main(opts):
     paired = hps.model in ("paired", "paired-attn")
     cls = Nlvr2PairedDataset if paired else Nlvr2TripletDataset
     ds = cls(txt_db, img_db, use_img_type=hps.use_img_type)
+    from uniter_tpu.training.driver import shard_kw
+
     loader = BucketLoader(
         ds, spec_from_dataset(ds, opts.batch_size),
-        shuffle=False, drop_last=False)
+        shuffle=False, drop_last=False, **shard_kw())
 
     # init template then load trained weights
     batch0 = next(iter(loader))
@@ -59,11 +61,15 @@ def main(opts):
         for qid, pred in zip(batch["qids"], preds):
             results.append((qid, "True" if pred == 1 else "False"))
 
+    from uniter_tpu.parallel.collectives import all_gather_list, process_index
+
+    results = [r for part in all_gather_list(results) for r in part]
     os.makedirs(opts.output_dir, exist_ok=True)
     out_csv = os.path.join(opts.output_dir, "results.csv")
-    with open(out_csv, "w") as f:
-        for qid, label in results:
-            f.write(f"{qid},{label}\n")
+    if process_index() == 0:
+        with open(out_csv, "w") as f:
+            for qid, label in results:
+                f.write(f"{qid},{label}\n")
     LOGGER.info("wrote %d predictions to %s", len(results), out_csv)
     return out_csv
 

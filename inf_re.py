@@ -32,9 +32,13 @@ def main(opts):
         mlp=getattr(hps, "mlp", 1))
 
     txt_db = ReTxtTokDb(opts.txt_db, max_txt_len=-1)
-    img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
+    # gt DBs use conf_th=-1 / num_bb=100 (reference inf_re.py:67-71 path
+    # heuristic)
+    is_gt = "coco_gt" in opts.img_db
+    img_db = DetectFeatDb(opts.img_db,
+                          conf_th=-1 if is_gt else hps.conf_th,
                           max_bb=hps.max_bb, min_bb=hps.min_bb,
-                          num_bb=hps.num_bb)
+                          num_bb=100 if is_gt else hps.num_bb)
     from uniter_tpu.training.driver import shard_kw
 
     ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat,

@@ -45,9 +45,11 @@ def main(opts):
     img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
                           max_bb=hps.max_bb, min_bb=hps.min_bb,
                           num_bb=hps.num_bb)
-    img_db_gt = DetectFeatDb(opts.img_db_gt, conf_th=hps.conf_th,
+    # gt DBs always use conf_th=-1 / num_bb=100 (reference inf_vcr.py:45-47;
+    # the released vcr_gt_* tars only contain the feat_numbb100 store)
+    img_db_gt = DetectFeatDb(opts.img_db_gt, conf_th=-1,
                              max_bb=hps.max_bb, min_bb=hps.min_bb,
-                             num_bb=hps.num_bb)
+                             num_bb=100)
     from uniter_tpu.training.driver import shard_kw
 
     ds = VcrEvalDataset(opts.split, txt_db, img_db_gt=img_db_gt,

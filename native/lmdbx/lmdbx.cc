@@ -316,8 +316,14 @@ struct WPage {
 
 class Builder {
  public:
-  // entries must arrive in sorted key order
-  void add(const uint8_t* key, size_t klen, const uint8_t* val, size_t vlen) {
+  // entries must arrive in sorted key order. Returns 0, or -1 for keys
+  // over LMDB's 511-byte maxkeysize (larger keys would both overflow the
+  // leaf page math here and produce a data.mdb stock liblmdb rejects).
+  int add(const uint8_t* key, size_t klen, const uint8_t* val, size_t vlen) {
+    if (klen > 511) {
+      error_ = true;
+      return -1;
+    }
     size_t inline_sz = 8 + klen + vlen;
     bool big = inline_sz > kNodeMax;
     size_t node_sz = big ? (8 + klen + 8) : inline_sz;
@@ -338,9 +344,11 @@ class Builder {
     leaf_used_ += 2 + node_sz;
     cur_leaf_.push_back(std::move(e));
     entries_++;
+    return 0;
   }
 
   int finish(const char* path) {
+    if (error_) return -1;
     flush_leaf();
     // assign page numbers: 0,1 metas; then leaves; then overflow; then
     // branches (order is arbitrary — references are explicit pgnos)
@@ -421,6 +429,12 @@ class Builder {
     uint64_t last_pg = next_pg - 1;
     FILE* f = fopen(path, "wb");
     if (!f) return -1;
+    // checked writes: a short fwrite (disk full, I/O error) must fail the
+    // build, not silently leave a truncated data.mdb behind
+    bool wok = true;
+    auto wr = [&](const void* p, size_t n) {
+      if (fwrite(p, 1, n, f) != n) wok = false;
+    };
     // metas
     for (int mi = 0; mi < 2; mi++) {
       WPage wp;
@@ -443,7 +457,7 @@ class Builder {
       m->dbs[1].root = root;
       m->last_pg = last_pg;
       m->txnid = 1;
-      fwrite(wp.bytes.data(), 1, kPageSize, f);
+      wr(wp.bytes.data(), kPageSize);
     }
     // leaves
     for (auto& l : leaves_) {
@@ -476,7 +490,7 @@ class Builder {
       }
       h->pb.lower = uint16_t(kPageHdrSz + 2 * l.entries.size());
       h->pb.upper = uint16_t(upper);
-      fwrite(wp.bytes.data(), 1, kPageSize, f);
+      wr(wp.bytes.data(), kPageSize);
     }
     // overflow chains
     for (size_t i = 0; i < ov_values_.size(); i++) {
@@ -488,15 +502,16 @@ class Builder {
       h->flags = P_OVERFLOW;
       h->pages = uint32_t(npg);
       memcpy(buf.data() + kPageHdrSz, v.data(), v.size());
-      fwrite(buf.data(), 1, buf.size(), f);
+      wr(buf.data(), buf.size());
     }
     // branches
-    for (auto& wp : branch_pages) fwrite(wp.bytes.data(), 1, kPageSize, f);
-    fclose(f);
-    return 0;
+    for (auto& wp : branch_pages) wr(wp.bytes.data(), kPageSize);
+    if (fclose(f) != 0) wok = false;
+    return wok ? 0 : -1;
   }
 
  private:
+  bool error_ = false;
   struct LeafEntry {
     std::vector<uint8_t> key;
     std::vector<uint8_t> data;
@@ -531,8 +546,7 @@ void* lmdbx_builder_new() { return new Builder; }
 
 int lmdbx_builder_add(void* b, const uint8_t* key, size_t klen,
                       const uint8_t* val, size_t vlen) {
-  static_cast<Builder*>(b)->add(key, klen, val, vlen);
-  return 0;
+  return static_cast<Builder*>(b)->add(key, klen, val, vlen);
 }
 
 int lmdbx_builder_finish(void* b, const char* path) {

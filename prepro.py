@@ -264,8 +264,12 @@ def main(opts):
 
     if opts.task == "nlvr":
         with open(opts.annotation) as ann:
+            missing = None
+            if getattr(opts, "missing", None):
+                with open(opts.missing) as mf:
+                    missing = set(json.load(mf))
             id2len, txt2img = process_nlvr2(ann, db, tokenize,
-                                            missing=None)
+                                            missing=missing)
         dump_maps(txt2img)
     elif opts.task == "vqa":
         with open(opts.annotation) as f:
@@ -354,6 +358,9 @@ if __name__ == "__main__":
     parser.add_argument("--img_format", default=None,
                         help="img_fname format string, e.g. "
                              "'coco_train2014_{:012}.npz'")
+    parser.add_argument("--missing", default=None,
+                        help="json list of image fnames absent from the "
+                             "img_db (their examples are skipped)")
     parser.add_argument("--toker", default="bert-base-cased")
     parser.add_argument("--store", default="lmdb", choices=["lmdb", "dir"],
                         help="record store format (lmdb = reference format)")

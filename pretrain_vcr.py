@@ -79,7 +79,7 @@ def main(opts):
         opts, jax.random.PRNGKey(opts.seed))
 
     img_db = driver.open_img_db(opts.train_img_db, opts)
-    img_db_gt = driver.open_img_db(opts.train_img_db_gt, opts)
+    img_db_gt = driver.open_img_db(opts.train_img_db_gt, opts, gt=True)
 
     def make_loaders(datasets_cfg, train=True):
         out = {}

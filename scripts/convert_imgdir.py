@@ -38,10 +38,14 @@ def main(opts):
     paths = sorted(glob.glob(os.path.join(opts.img_dir, "*.npz")))
     LOGGER.info("converting %d npz files", len(paths))
     with Pool(opts.nproc) as pool:
-        records = dict(pool.map(load_npz, paths))
-    write_img_db(opts.output, records, conf_th=opts.conf_th,
-                 max_bb=opts.max_bb, min_bb=opts.min_bb,
-                 compress=not opts.uncompressed)
+        # stream: imap keeps only the in-flight window resident — a full
+        # coco split's features are tens of GB and must not be dict'ed up
+        # front
+        records = pool.imap(load_npz, paths, chunksize=16)
+        write_img_db(opts.output, records, conf_th=opts.conf_th,
+                     max_bb=opts.max_bb, min_bb=opts.min_bb,
+                     num_bb=opts.num_bb,
+                     compress=not opts.uncompressed)
     LOGGER.info("wrote img_db to %s", opts.output)
 
 
@@ -52,6 +56,8 @@ if __name__ == "__main__":
     parser.add_argument("--conf_th", type=float, default=0.2)
     parser.add_argument("--max_bb", type=int, default=100)
     parser.add_argument("--min_bb", type=int, default=10)
+    parser.add_argument("--num_bb", type=int, default=36,
+                        help="gt layout row claim when --conf_th -1")
     parser.add_argument("--nproc", type=int, default=8)
     parser.add_argument("--uncompressed", action="store_true")
     main(parser.parse_args())

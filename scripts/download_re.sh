@@ -4,10 +4,9 @@ set -e
 DOWNLOAD=${1:-/db}
 BLOB='https://acvrpublicycchen.blob.core.windows.net/uniter'
 mkdir -p "$DOWNLOAD/txt_db" "$DOWNLOAD/img_db"
-for DB in refcoco_train refcoco_val refcoco_testA refcoco_testB refcoco+_train refcoco+_val refcoco+_testA refcoco+_testB refcocog_train refcocog_val refcocog_test; do
-    wget -nc "$BLOB/txt_db/$DB.db.tar" -P "$DOWNLOAD/txt_db/"
-    tar -xf "$DOWNLOAD/txt_db/$DB.db.tar" -C "$DOWNLOAD/txt_db/"
-done
+# the blob hosts one bundle with every refcoco/refcoco+/refcocog split
+wget -nc "$BLOB/txt_db/re_txt_db.tar" -P "$DOWNLOAD/txt_db/"
+tar -xf "$DOWNLOAD/txt_db/re_txt_db.tar" -C "$DOWNLOAD/txt_db/"
 for IMG in re_coco_gt re_coco_det; do
     wget -nc "$BLOB/img_db/$IMG.tar" -P "$DOWNLOAD/img_db/"
     tar -xf "$DOWNLOAD/img_db/$IMG.tar" -C "$DOWNLOAD/img_db/"

@@ -4,7 +4,7 @@ set -e
 DOWNLOAD=${1:-/db}
 BLOB='https://acvrpublicycchen.blob.core.windows.net/uniter'
 mkdir -p "$DOWNLOAD/txt_db" "$DOWNLOAD/img_db"
-for DB in vqa_train vqa_trainval vqa_devval vqa_test; do
+for DB in vqa_train vqa_trainval vqa_devval vqa_test vqa_vg; do
     wget -nc "$BLOB/txt_db/$DB.db.tar" -P "$DOWNLOAD/txt_db/"
     tar -xf "$DOWNLOAD/txt_db/$DB.db.tar" -C "$DOWNLOAD/txt_db/"
 done

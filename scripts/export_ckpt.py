@@ -22,12 +22,12 @@ def main(src: str, dst: str):
     from uniter_tpu.models.checkpoint import export_state_dict
 
     if os.path.isdir(src):
-        from uniter_tpu.utils.save import TrainStateSaver
+        # resolve the latest snapshot WITHOUT instantiating an Orbax
+        # manager (TrainStateSaver would mkdir <src>/ckpt in a read-only
+        # export path)
+        from uniter_tpu.training.infer import resolve_ckpt
 
-        path = TrainStateSaver(src).latest_params_file()
-        if path is None:
-            raise FileNotFoundError(f"no model_step_*.msgpack under {src}")
-        src = path
+        src = resolve_ckpt(src)
     with open(src, "rb") as f:
         params = serialization.msgpack_restore(f.read())
     sd = export_state_dict(params)

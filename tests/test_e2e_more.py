@@ -195,7 +195,7 @@ def test_vcr_finetune_e2e(tmp_path):
 
     rng = np.random.RandomState(0)
 
-    def mk_img(subdir, names):
+    def mk_img(subdir, names, gt=False):
         recs = {}
         for n in names:
             nbb = rng.randint(4, 7)
@@ -205,12 +205,16 @@ def test_vcr_finetune_e2e(tmp_path):
                 conf=np.linspace(1, 0.3, nbb).astype(np.float16),
                 soft_labels=rng.rand(nbb, 1601).astype(np.float16))
         d = str(tmp_path / subdir)
-        write_img_db(d, recs, conf_th=0.2, max_bb=8, min_bb=3)
+        if gt:  # released gt layout: feat_numbb100 store + nbb sidecar
+            write_img_db(d, recs, conf_th=-1, num_bb=100)
+        else:
+            write_img_db(d, recs, conf_th=0.2, max_bb=8, min_bb=3)
         return d
 
     gt_names = [f"g{i}.npz" for i in range(4)]
     det_names = [f"d{i}.npz" for i in range(4)]
-    img_gt, img_det = mk_img("gt", gt_names), mk_img("det", det_names)
+    img_gt, img_det = (mk_img("gt", gt_names, gt=True),
+                   mk_img("det", det_names))
 
     txt_dir = str(tmp_path / "txt")
     os.makedirs(txt_dir)

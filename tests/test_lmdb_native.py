@@ -114,3 +114,17 @@ def test_img_db_on_lmdb(tmp_path):
     feat, pos7, nbb = db.get_img_feat("coco_000002.npz")
     assert feat.shape == (name2nbb["coco_000002.npz"], 64)
     assert pos7.shape[1] == 7
+
+
+def test_writer_rejects_oversized_keys(tmp_path):
+    """LMDB's maxkeysize is 511 bytes; the bulk writer must reject larger
+    keys instead of corrupting the page math / emitting a data.mdb stock
+    liblmdb readers refuse."""
+    import pytest
+
+    from uniter_tpu.data.lmdb_native import write_lmdb
+
+    with pytest.raises(ValueError, match="maxkeysize"):
+        write_lmdb(str(tmp_path / "db"), {"k" * 600: b"v"})
+    # boundary: 511 is fine
+    write_lmdb(str(tmp_path / "db2"), {"k" * 511: b"v", "a": b"b"})

@@ -15,7 +15,7 @@ def vcr_env(tmp_path_factory):
     root = tmp_path_factory.mktemp("vcr")
     rng = np.random.RandomState(0)
 
-    def make_img_db(subdir, names):
+    def make_img_db(subdir, names, gt=False):
         recs = {}
         for n in names:
             nbb = rng.randint(4, 8)
@@ -26,12 +26,15 @@ def vcr_env(tmp_path_factory):
                 soft_labels=rng.rand(nbb, 1601).astype(np.float16),
             )
         d = str(root / subdir)
-        write_img_db(d, recs, conf_th=0.2, max_bb=8, min_bb=3)
+        if gt:  # released gt layout: feat_numbb100 store + nbb sidecar
+            write_img_db(d, recs, conf_th=-1, num_bb=100)
+        else:
+            write_img_db(d, recs, conf_th=0.2, max_bb=8, min_bb=3)
         return d
 
     gt_names = [f"vcr_gt_{i}.npz" for i in range(4)]
     det_names = [f"vcr_det_{i}.npz" for i in range(4)]
-    img_gt = make_img_db("img_gt", gt_names)
+    img_gt = make_img_db("img_gt", gt_names, gt=True)
     img_det = make_img_db("img_det", det_names)
 
     txt_dir = str(root / "txt")
@@ -87,7 +90,8 @@ def test_vcr_dataset_rows(vcr_env):
     from uniter_tpu.data.img_db import DetectFeatDb
 
     txt = VcrTxtTokDb(vcr_env["txt"], max_txt_len=120, task="qa")
-    gt = DetectFeatDb(vcr_env["img_gt"], conf_th=0.2, max_bb=8, min_bb=3)
+    gt = DetectFeatDb(vcr_env["img_gt"], conf_th=-1, max_bb=8, min_bb=3,
+                      num_bb=100)
     det = DetectFeatDb(vcr_env["img_det"], conf_th=0.2, max_bb=8, min_bb=3)
     ds = VcrDataset(txt, img_db_gt=gt, img_db=det)
     rec = ds.get_record(0, np.random.RandomState(0))
@@ -115,7 +119,8 @@ def test_pretrain_vcr_datasets(vcr_env):
     from uniter_tpu.data.img_db import DetectFeatDb
 
     txt = VcrTxtTokDb(vcr_env["txt"], max_txt_len=120, task="qar")
-    gt = DetectFeatDb(vcr_env["img_gt"], conf_th=0.2, max_bb=8, min_bb=3)
+    gt = DetectFeatDb(vcr_env["img_gt"], conf_th=-1, max_bb=8, min_bb=3,
+                      num_bb=100)
     det = DetectFeatDb(vcr_env["img_det"], conf_th=0.2, max_bb=8, min_bb=3)
     rng = np.random.RandomState(1)
 

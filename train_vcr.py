@@ -46,7 +46,7 @@ def build_model_and_params(opts, rng):
 
 def build_train_datasets(opts):
     img_db = driver.open_img_db(opts.train_img_db, opts)
-    img_db_gt = driver.open_img_db(opts.train_img_db_gt, opts)
+    img_db_gt = driver.open_img_db(opts.train_img_db_gt, opts, gt=True)
     datasets = []
     for task in opts.tasks.split(","):
         txt_db = VcrTxtTokDb(opts.train_txt_db,
@@ -104,7 +104,7 @@ def main(opts):
     val_txt = VcrTxtTokDb(opts.val_txt_db, max_txt_len=-1, task="qa,qar")
     val_ds = VcrEvalDataset(
         "val", val_txt,
-        img_db_gt=driver.open_img_db(opts.val_img_db_gt, opts),
+        img_db_gt=driver.open_img_db(opts.val_img_db_gt, opts, gt=True),
         img_db=driver.open_img_db(opts.val_img_db, opts))
     val_loader = BucketLoader(
         # grid from the VAL dataset itself: the val db is untruncated

@@ -50,8 +50,18 @@ class DetectFeatDb:
         self.max_bb = max_bb
         self.compress = compress
         if conf_th == -1:
+            # gt-feature layout (reference data/data.py:57-60). The
+            # reference claims num_bb rows for every image; an accurate
+            # nbb_numbb*.json sidecar (written by our converters) is
+            # preferred when present — it avoids planning buckets at the
+            # 100-row ceiling when gt images carry far fewer boxes.
             db_name = f"feat_numbb{num_bb}"
-            self.name2nbb = defaultdict(lambda: num_bb)
+            side = os.path.join(img_dir, f"nbb_numbb{num_bb}.json")
+            if os.path.exists(side):
+                with open(side) as f:
+                    self.name2nbb = json.load(f)
+            else:
+                self.name2nbb = defaultdict(lambda: num_bb)
         else:
             db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
             nbb = f"nbb_th{conf_th}_max{max_bb}_min{min_bb}.json"
@@ -66,9 +76,24 @@ class DetectFeatDb:
         if self.name2nbb is None and conf_th != -1:
             db_name = "all_compressed" if compress else "all"
         path = os.path.join(img_dir, db_name)
-        if not os.path.isdir(path):
-            # tolerate a bare store directory (test fixtures)
-            path = img_dir
+        if not os.path.isdir(path) and store is None:
+            # the exact-named store is absent: when the dir holds exactly
+            # one feat_* store, use it (e.g. a gt DB opened with detection
+            # thresholds or a numbb mismatch) rather than failing later
+            cands = (sorted(
+                d for d in os.listdir(img_dir)
+                if d.startswith("feat_")
+                and os.path.isdir(os.path.join(img_dir, d)))
+                if os.path.isdir(img_dir) else [])
+            if len(cands) == 1:
+                from uniter_tpu.utils.logger import LOGGER
+
+                LOGGER.warning("img_db %s: store %s not found, using %s",
+                               img_dir, db_name, cands[0])
+                path = os.path.join(img_dir, cands[0])
+            else:
+                # tolerate a bare store directory (test fixtures)
+                path = img_dir
         self.store = store or open_store(path)
         if self.name2nbb is None:
             self.name2nbb = self._compute_nbb()
@@ -134,30 +159,42 @@ class DetectFeatDb:
 
 def write_img_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
                  conf_th: float = 0.2, max_bb: int = 100, min_bb: int = 10,
-                 compress: bool = True):
+                 compress: bool = True, num_bb: int = 36):
     """Create an img DB (test fixtures; scripts/convert_imgdir.py analog).
 
     records: fname -> {features [N,2048] fp16, norm_bb [N,6] fp16,
-                       conf [N], soft_labels [N,1601]}.
+                       conf [N], soft_labels [N,1601]} — a mapping, or any
+    iterable of (fname, record) pairs (streaming: a full split's features
+    need never be resident at once). ``conf_th=-1`` writes the gt-feature
+    layout (feat_numbb{num_bb} store + an accurate nbb sidecar with each
+    record's real row count).
     """
-    db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
+    if conf_th == -1:
+        db_name = f"feat_numbb{num_bb}"
+    else:
+        db_name = f"feat_th{conf_th}_max{max_bb}_min{min_bb}"
     if compress:
         db_name += "_compressed"
     path = os.path.join(img_dir, db_name)
     os.makedirs(path, exist_ok=True)
     store = open_store(path, create=True)
     name2nbb = {}
-    for fname, rec in records.items():
+    items = records.items() if hasattr(records, "items") else records
+    for fname, rec in items:
         if compress:
             buf = io.BytesIO()
             np.savez(buf, **rec)
             store.put(fname, buf.getvalue())
         else:
             store.put(fname, msgnp.packb(rec))
-        name2nbb[fname] = compute_num_bb(
-            np.asarray(rec["conf"]), conf_th, min_bb, max_bb)
-    store.put("__keys__", json.dumps(list(records)).encode())
-    nbb = f"nbb_th{conf_th}_max{max_bb}_min{min_bb}.json"
+        if conf_th == -1:
+            name2nbb[fname] = int(np.asarray(rec["features"]).shape[0])
+        else:
+            name2nbb[fname] = compute_num_bb(
+                np.asarray(rec["conf"]), conf_th, min_bb, max_bb)
+    store.put("__keys__", json.dumps(list(name2nbb)).encode())
+    nbb = (f"nbb_numbb{num_bb}.json" if conf_th == -1
+           else f"nbb_th{conf_th}_max{max_bb}_min{min_bb}.json")
     with open(os.path.join(img_dir, nbb), "w") as f:
         json.dump(name2nbb, f)
     store.close()

@@ -121,7 +121,9 @@ def write_lmdb(db_dir: str, records: Dict[str, bytes]):
     for key in sorted(records):
         k = key.encode()
         v = records[key]
-        lib.lmdbx_builder_add(b, k, len(k), v, len(v))
+        if lib.lmdbx_builder_add(b, k, len(k), v, len(v)) != 0:
+            raise ValueError(
+                f"lmdbx: key {key!r} exceeds LMDB's 511-byte maxkeysize")
     rc = lib.lmdbx_builder_finish(
         b, os.path.join(db_dir, "data.mdb").encode())
     if rc != 0:

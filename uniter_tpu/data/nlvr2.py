@@ -46,7 +46,13 @@ class Nlvr2PairedDataset(JointDataset):
             if self.use_img_type:
                 row["img_type_ids"] = np.full((nbb,), k + 1, np.int32)
             rows.append(row)
-        return dict(rows=rows, target=int(ex["target"]), qid=self.ids[i])
+        return dict(rows=rows,
+                    # unlabeled leaderboard splits carry target=None
+                    # (prepro.py test2 case) — -1 is masked by the
+                    # drivers' ex_weight/valid handling
+                    target=-1 if ex["target"] is None
+                    else int(ex["target"]),
+                    qid=self.ids[i])
 
     @staticmethod
     def collate(records, t_bucket, r_bucket, batch_size):
@@ -97,7 +103,7 @@ class Nlvr2TripletDataset(JointDataset):
             input_ids=input_ids,
             img_feat=np.concatenate(feats, 0),
             img_pos_feat=np.concatenate(poss, 0),
-            target=int(ex["target"]),
+            target=-1 if ex["target"] is None else int(ex["target"]),
             qid=self.ids[i],
         )
         if self.use_img_type:

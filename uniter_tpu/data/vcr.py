@@ -154,6 +154,11 @@ class VcrEvalDataset(VcrJointDataset):
         super().__init__(*args, **kw)
         self.split = split
         assert self.task == "qa,qar"
+        # every example expands to a fixed row count (4 qa + 4 gold-answer
+        # qar rows on val; 4 qa + 16 qar on test): declare it so the
+        # sampler plans real token budgets — without this a batch_size=N
+        # plan dispatches N*8 (val) / N*20 (test) rows
+        self.rows_per_example = 8 if split == "val" else 20
 
     def size_of(self, i):
         return self.txt_lens[i] + 6, self._nbbs[i]
@@ -190,8 +195,13 @@ class VcrEvalDataset(VcrJointDataset):
     @staticmethod
     def collate(records, t_bucket, r_bucket, batch_size=None):
         rows = [r for rec in records for r in rec["rows"]]
+        # pad the row axis to the PLANNED size so tail batches reuse the
+        # same compiled program (static-shape contract); padding rows are
+        # masked by collate_joint's ex_weight
+        rows_per = max(len(rec["rows"]) for rec in records)
+        n_rows = (batch_size * rows_per if batch_size else len(rows))
         batch = collate_joint(
-            rows, t_bucket, r_bucket, len(rows),
+            rows, t_bucket, r_bucket, n_rows,
             fields={"txt_type_ids": ("txt", 0)},
         )
         batch["qids"] = [rec["qid"] for rec in records]

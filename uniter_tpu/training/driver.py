@@ -142,7 +142,21 @@ def shard_kw() -> dict:
                 shard_count=jax.process_count())
 
 
-def open_img_db(path, opts, compress=True) -> DetectFeatDb:
+def open_img_db(path, opts, compress=True, gt=False) -> DetectFeatDb:
+    """``gt=True``: ground-truth region DBs are opened with conf_th=-1 and
+    num_bb=100 (the reference's convention everywhere —
+    train_vcr.py:105-107, inf_vcr.py:45-47); released vcr_gt_* tars only
+    contain the feat_numbb100 store, so detection thresholds would fail to
+    resolve it. The reference also detects gt DBs by path
+    (train_re.py:42-45 '"gt" in path' / inf_re.py:67 'coco_gt') — mirror
+    that so RE's visual-grounding gt DBs open correctly too."""
+    if "coco_gt" in path or os.path.basename(
+            os.path.normpath(path)).endswith("_gt"):
+        gt = True
+    if gt:
+        return DetectFeatDb(
+            path, conf_th=-1, max_bb=opts.max_bb, min_bb=opts.min_bb,
+            num_bb=100, compress=compress)
     return DetectFeatDb(
         path, conf_th=opts.conf_th, max_bb=opts.max_bb, min_bb=opts.min_bb,
         num_bb=opts.num_bb, compress=compress)
