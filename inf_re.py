@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from uniter_tpu.data.buckets import spec_from_dataset
-from uniter_tpu.data.img_db import DetectFeatDb
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.re import ReEvalDataset, ReTxtTokDb, compute_iou
 from uniter_tpu.models.re import UniterForReferringExpressionComprehension
@@ -32,13 +31,12 @@ def main(opts):
         mlp=getattr(hps, "mlp", 1))
 
     txt_db = ReTxtTokDb(opts.txt_db, max_txt_len=-1)
-    # gt DBs use conf_th=-1 / num_bb=100 (reference inf_re.py:67-71 path
-    # heuristic)
-    is_gt = "coco_gt" in opts.img_db
-    img_db = DetectFeatDb(opts.img_db,
-                          conf_th=-1 if is_gt else hps.conf_th,
-                          max_bb=hps.max_bb, min_bb=hps.min_bb,
-                          num_bb=100 if is_gt else hps.num_bb)
+    # gt convention (conf_th=-1 / num_bb=100 when the path names a gt DB,
+    # reference inf_re.py:67-71) lives in driver.open_img_db
+    from uniter_tpu.training.driver import open_img_db
+
+    img_db = open_img_db(opts.img_db, hps,
+                         gt="coco_gt" in opts.img_db)
     from uniter_tpu.training.driver import shard_kw
 
     ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat,

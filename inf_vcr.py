@@ -23,8 +23,6 @@ from uniter_tpu.training.loop import jnp_batch
 from uniter_tpu.utils.const import IMG_DIM
 from uniter_tpu.utils.logger import LOGGER
 
-from uniter_tpu.data.img_db import DetectFeatDb
-
 
 def softmax2(x):
     e = np.exp(x - x.max())
@@ -42,21 +40,17 @@ def main(opts):
     model = UniterForVisualCommonsenseReasoning(cfg, img_dim=IMG_DIM)
 
     txt_db = VcrTxtTokDb(opts.txt_db, max_txt_len=-1, task="qa,qar")
-    img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
-                          max_bb=hps.max_bb, min_bb=hps.min_bb,
-                          num_bb=hps.num_bb)
-    # gt DBs always use conf_th=-1 / num_bb=100 (reference inf_vcr.py:45-47;
-    # the released vcr_gt_* tars only contain the feat_numbb100 store)
-    img_db_gt = DetectFeatDb(opts.img_db_gt, conf_th=-1,
-                             max_bb=hps.max_bb, min_bb=hps.min_bb,
-                             num_bb=100)
-    from uniter_tpu.training.driver import shard_kw
+    from uniter_tpu.training.driver import open_img_db, shard_kw
+
+    img_db = open_img_db(opts.img_db, hps)
+    # gt convention (conf_th=-1 / num_bb=100) lives in open_img_db
+    img_db_gt = open_img_db(opts.img_db_gt, hps, gt=True)
 
     ds = VcrEvalDataset(opts.split, txt_db, img_db_gt=img_db_gt,
                         img_db=img_db, **shard_kw())
     loader = BucketLoader(
         ds, spec_from_dataset(ds, opts.batch_size),
-        shuffle=False, drop_last=False, collate=VcrEvalDataset.collate)
+        shuffle=False, drop_last=False, collate=ds.collate_fn)
 
     batch0 = next(iter(loader))
     jb0 = {k: jnp.asarray(v) for k, v in jnp_batch(batch0).items()}

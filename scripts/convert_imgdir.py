@@ -37,6 +37,8 @@ def load_npz(path):
 def main(opts):
     paths = sorted(glob.glob(os.path.join(opts.img_dir, "*.npz")))
     LOGGER.info("converting %d npz files", len(paths))
+    if opts.num_bb is None:
+        opts.num_bb = 100 if opts.conf_th == -1 else 36
     with Pool(opts.nproc) as pool:
         # stream: imap keeps only the in-flight window resident — a full
         # coco split's features are tens of GB and must not be dict'ed up
@@ -56,8 +58,9 @@ if __name__ == "__main__":
     parser.add_argument("--conf_th", type=float, default=0.2)
     parser.add_argument("--max_bb", type=int, default=100)
     parser.add_argument("--min_bb", type=int, default=10)
-    parser.add_argument("--num_bb", type=int, default=36,
-                        help="gt layout row claim when --conf_th -1")
+    parser.add_argument("--num_bb", type=int, default=None,
+                        help="gt layout store name when --conf_th -1 "
+                             "(default 100, matching the readers)")
     parser.add_argument("--nproc", type=int, default=8)
     parser.add_argument("--uncompressed", action="store_true")
     main(parser.parse_args())

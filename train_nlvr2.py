@@ -81,7 +81,9 @@ def validate(model, params, loader, paired: bool):
         w = np.asarray(batch["ex_weight"])
         if paired:
             w = w[: len(targets)]
-        valid = w > 0
+        # target=-1 marks unlabeled rows (leaderboard splits): exclude
+        # them from accuracy rather than scoring them as wrong
+        valid = (w > 0) & (targets >= 0)
         preds = scores.argmax(-1)
         n_correct += int((preds[valid] == targets[valid]).sum())
         n_ex += int(valid.sum())

@@ -111,7 +111,7 @@ def main(opts):
         # (max_txt_len=-1); an opts.max_txt_len-capped spec would silently
         # cut long rationales (inf_vcr.py parity)
         val_ds, spec_from_dataset(val_ds, opts.val_batch_size),
-        shuffle=False, drop_last=False, collate=VcrEvalDataset.collate,
+        shuffle=False, drop_last=False, collate=val_ds.collate_fn,
         **driver.shard_kw())
 
     def loss_fn(p, batch, rng):

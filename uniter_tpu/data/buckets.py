@@ -60,9 +60,16 @@ class BucketSpec:
 
 
 def spec_from_dataset(dataset, token_budget: int,
-                      size_mul: int = 8) -> BucketSpec:
+                      size_mul: int = 0) -> BucketSpec:
     """BucketSpec whose grid covers the dataset's real (txt, region) sizes —
-    nothing is ever truncated."""
+    nothing is ever truncated. The default size_mul accounts for the
+    dataset's rows_per_example and the process count, so per-batch EXAMPLE
+    counts stay divisible by the shard count (BucketLoader asserts it)."""
+    if not size_mul:
+        import jax
+
+        rows = getattr(dataset, "rows_per_example", 1)
+        size_mul = max(8, rows * jax.process_count())
     sizes = [dataset.size_of(i) for i in range(len(dataset))]
     max_t = max((s[0] for s in sizes), default=32)
     max_r = max((s[1] for s in sizes), default=4)

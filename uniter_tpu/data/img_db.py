@@ -57,6 +57,12 @@ class DetectFeatDb:
             # 100-row ceiling when gt images carry far fewer boxes.
             db_name = f"feat_numbb{num_bb}"
             side = os.path.join(img_dir, f"nbb_numbb{num_bb}.json")
+            if not os.path.exists(side) and os.path.isdir(img_dir):
+                cands = [f for f in os.listdir(img_dir)
+                         if f.startswith("nbb_numbb")
+                         and f.endswith(".json")]
+                if len(cands) == 1:  # converter used another numbb claim
+                    side = os.path.join(img_dir, cands[0])
             if os.path.exists(side):
                 with open(side) as f:
                     self.name2nbb = json.load(f)

@@ -122,6 +122,9 @@ def write_lmdb(db_dir: str, records: Dict[str, bytes]):
         k = key.encode()
         v = records[key]
         if lib.lmdbx_builder_add(b, k, len(k), v, len(v)) != 0:
+            # finish() with the error flag set deletes the native builder
+            # without writing anything (sole deallocation path)
+            lib.lmdbx_builder_finish(b, b"/invalid")
             raise ValueError(
                 f"lmdbx: key {key!r} exceeds LMDB's 511-byte maxkeysize")
     rc = lib.lmdbx_builder_finish(

@@ -48,8 +48,9 @@ class Nlvr2PairedDataset(JointDataset):
             rows.append(row)
         return dict(rows=rows,
                     # unlabeled leaderboard splits carry target=None
-                    # (prepro.py test2 case) — -1 is masked by the
-                    # drivers' ex_weight/valid handling
+                    # (prepro.py test2 case): -1. Inference ignores targets;
+                    # validation excludes target<0 rows from accuracy.
+                    # Unlabeled DBs are not valid TRAINING inputs.
                     target=-1 if ex["target"] is None
                     else int(ex["target"]),
                     qid=self.ids[i])

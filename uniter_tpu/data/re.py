@@ -149,10 +149,19 @@ class ReEvalDataset(ReDataset):
         super().__init__(txt_db, img_db, **kw)
 
     def size_of(self, i):
-        ex = self.txt_db[self.ids[i]]
-        f = gt_fname(ex["image_id"]) if self.use_gt_feat else det_fname(
-            ex["image_id"])
-        return self.txt_lens[i] + 2, self.img_db.name2nbb[f]
+        # cached like ReDataset.size_of: spec_from_dataset + the loader's
+        # sampler both run a full size pass; without the cache each call
+        # decompresses the text record just to read image_id
+        sid = self.ids[i]
+        cache = getattr(self, "_sid2nbb", None)
+        if cache is None:
+            cache = self._sid2nbb = {}
+        nbb = cache.get(sid)
+        if nbb is None:
+            iid = self.txt_db[sid]["image_id"]
+            f = gt_fname(iid) if self.use_gt_feat else det_fname(iid)
+            nbb = cache[sid] = self.img_db.name2nbb[f]
+        return self.txt_lens[i] + 2, nbb
 
     def get_record(self, i: int, rng=None):
         ex = self.txt_db[self.ids[i]]

@@ -192,14 +192,15 @@ class VcrEvalDataset(VcrJointDataset):
                     qa_target=int(ex["qa_target"]),
                     qar_target=int(ex["qar_target"]))
 
-    @staticmethod
-    def collate(records, t_bucket, r_bucket, batch_size=None):
+    def collate_fn(self, records, t_bucket, r_bucket, batch_size=None):
+        """Shape-stable collate: the row axis pads to the PLANNED size
+        (batch_size examples x the split's declared rows_per_example), so
+        tail batches reuse the same compiled program; padding rows are
+        masked by collate_joint's ex_weight. Pass this (bound) method as
+        the loader's collate."""
         rows = [r for rec in records for r in rec["rows"]]
-        # pad the row axis to the PLANNED size so tail batches reuse the
-        # same compiled program (static-shape contract); padding rows are
-        # masked by collate_joint's ex_weight
-        rows_per = max(len(rec["rows"]) for rec in records)
-        n_rows = (batch_size * rows_per if batch_size else len(rows))
+        n_rows = (batch_size * self.rows_per_example if batch_size
+                  else len(rows))
         batch = collate_joint(
             rows, t_bucket, r_bucket, n_rows,
             fields={"txt_type_ids": ("txt", 0)},

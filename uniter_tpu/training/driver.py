@@ -150,8 +150,8 @@ def open_img_db(path, opts, compress=True, gt=False) -> DetectFeatDb:
     resolve it. The reference also detects gt DBs by path
     (train_re.py:42-45 '"gt" in path' / inf_re.py:67 'coco_gt') — mirror
     that so RE's visual-grounding gt DBs open correctly too."""
-    if "coco_gt" in path or os.path.basename(
-            os.path.normpath(path)).endswith("_gt"):
+    base = os.path.basename(os.path.normpath(path))
+    if "coco_gt" in base or base.endswith("_gt"):
         gt = True
     if gt:
         return DetectFeatDb(
