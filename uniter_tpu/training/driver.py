@@ -95,6 +95,9 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-3: shard params + optimizer moments over "
                              "the data axis (for uniter-large scale)")
+    parser.add_argument("--fsdp_min_size", type=int, default=2 ** 16,
+                        help="smallest param (elements) to FSDP-shard; tiny "
+                             "LN vectors stay replicated")
     parser.add_argument("--warmup_compile", action="store_true",
                         help="compile every bucket's program before step 1 "
                              "(avoids mid-training XLA-compile stalls)")
@@ -323,7 +326,8 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         lr_mul=getattr(opts, "lr_mul", 1.0), lr_mul_paths=lr_mul_paths,
         **optim_kwargs(opts))
     state = place_state(TrainState.create(params, tx), mesh,
-                        fsdp=getattr(opts, "fsdp", False))
+                        fsdp=getattr(opts, "fsdp", False),
+                        fsdp_min_size=getattr(opts, "fsdp_min_size", 2 ** 16))
     saver = TrainStateSaver(opts.output_dir)
     restored = saver.restore(state)
     if restored is not None:
