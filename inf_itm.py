@@ -81,10 +81,12 @@ def main(opts):
             txt_tile=opts.txt_tile, img_tile=opts.img_tile,
             dtype=cfg.dtype, mesh=mesh, **shard_kw())
     else:
+        from uniter_tpu.training.infer import local_eval_mesh
+
         predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
         mat, txt_ids = inference_score_matrix(
             predict, ds, params, opts.txt_bucket, opts.img_bucket,
-            **shard_kw())
+            mesh=local_eval_mesh(), **shard_kw())
     parts = all_gather_list((mat, txt_ids))
     mat = np.concatenate([m for m, _ in parts if m.size])
     txt_ids = [t for _, ts in parts for t in ts]

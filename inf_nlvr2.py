@@ -51,10 +51,13 @@ def main(opts):
     params = infer.load_params(
         infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
 
+    # each process's batches spread over its local chips (reference
+    # inf_nlvr2.py runs every GPU; texts are already process-sharded)
+    mesh = infer.local_eval_mesh()
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     results = []
     for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
+        jb = infer.eval_put(jnp_batch(batch), mesh)
         scores = np.asarray(predict(params, jb))
         n = len(batch["qids"])
         preds = scores.argmax(-1)[:n]

@@ -53,11 +53,14 @@ def main(opts):
     params = infer.load_params(
         infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
 
+    # each process's batches spread over its local chips (reference
+    # inf_re.py runs every GPU; sentences are already process-sharded)
+    mesh = infer.local_eval_mesh()
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     n_correct, n_ex = 0, 0
     predictions = []
     for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
+        jb = infer.eval_put(jnp_batch(batch), mesh)
         scores = np.asarray(predict(params, jb))
         w = np.asarray(batch["ex_weight"]) > 0
         preds = scores.argmax(-1)

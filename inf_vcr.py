@@ -59,11 +59,14 @@ def main(opts):
     params = infer.load_params(
         infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
 
+    # each process's batches spread over its local chips (reference
+    # inf_vcr.py runs every GPU; questions are already process-sharded)
+    mesh = infer.local_eval_mesh()
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     n_qa, n_qar, n_ex = 0, 0, 0
     rows_out = []
     for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
+        jb = infer.eval_put(jnp_batch(batch), mesh)
         scores = np.asarray(predict(params, jb))[:, 0]
         off = 0
         for i, n_rows in enumerate(batch["n_rows"]):

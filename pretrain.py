@@ -116,9 +116,15 @@ def validate(model, params, val_loaders, pred_cache=None):
     """Per-task validation (reference pretrain.py:364-544): MLM acc, MRFR
     per-feature loss, MRC(-kl) acc, ITM acc. ``pred_cache`` persists the
     jitted predictors across validation rounds (a fresh lambda per call
-    would recompile every time)."""
+    would recompile every time). Batches shard over every local chip
+    (reference: all ranks validate, pretrain.py:390-544); the reductions
+    below use in-batch masks, so batches must be divisible (strict) — the
+    bucket specs guarantee it (size_mul covers the device count)."""
     import time
 
+    from uniter_tpu.training.infer import eval_put, local_eval_mesh
+
+    mesh = local_eval_mesh()
     logs = {}
     pred_cache = {} if pred_cache is None else pred_cache
     for name, loader in val_loaders.items():
@@ -137,8 +143,8 @@ def validate(model, params, val_loaders, pred_cache=None):
                         {"params": p}, b, t, False, deterministic=True))
         pred = pred_cache[task]
         for batch in loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
+            jb = eval_put({k: v for k, v in batch.items()
+                           if isinstance(v, np.ndarray)}, mesh, strict=True)
             out = pred(params, jb)
             if task == "mlm":
                 logits = np.asarray(out)  # [B, M, V]

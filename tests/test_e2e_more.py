@@ -330,6 +330,49 @@ def test_fast_score_matrix_matches_batched(itm_env):
     assert ids8 == ref_ids
     np.testing.assert_allclose(mat8, ref_mat, rtol=1e-5, atol=1e-5)
 
+    # mesh-sharded batched scoring (each minibatch's rows spread over the 8
+    # devices, with zero-padding to a divisible count) gives the same matrix
+    mat_m, ids_m = inference_score_matrix(
+        predict, ds, params, t_bucket, r_bucket, mesh=mesh)
+    assert ids_m == ref_ids
+    np.testing.assert_allclose(mat_m, ref_mat, rtol=1e-5, atol=1e-5)
+
+
+def test_validate_retrieval_fast_matches_batched_windowed(itm_env):
+    """ItmValDataset windowed recall: the fast path (full tiled matrix +
+    circular-window readout) equals the reference-style per-window batched
+    path — same per-pair scores => same gt ranks (VERDICT r2 #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    import train_itm
+    from uniter_tpu.config import UniterConfig
+    from uniter_tpu.data.img_db import DetectFeatDb
+    from uniter_tpu.data.itm import ItmValDataset
+    from uniter_tpu.data.txt_db import TxtTokDb
+
+    cfg = UniterConfig.from_json_file(itm_env["cfg"], dtype="float32")
+    from uniter_tpu.models.itm import UniterForImageTextRetrieval
+
+    model = UniterForImageTextRetrieval(cfg, img_dim=2048)
+    txt_db = TxtTokDb(itm_env["txt"], max_txt_len=-1)
+    img_db = DetectFeatDb(itm_env["img"], conf_th=0.2, max_bb=8, min_bb=3,
+                          num_bb=8)
+    ds = ItmValDataset(txt_db, img_db, mini_batch_size=5)
+    t_bucket, r_bucket = ds.bucket_hint()
+
+    b0 = ds.get_batches(0, t_bucket, r_bucket)[0]
+    jb0 = {k: jnp.asarray(v) for k, v in b0.items()
+           if isinstance(v, np.ndarray)}
+    params = model.init({"params": jax.random.PRNGKey(0)}, jb0, False)[
+        "params"]
+
+    logs_b = train_itm.validate_retrieval(model, params, ds, impl="batched")
+    logs_f = train_itm.validate_retrieval(model, params, ds, impl="fast")
+    assert set(logs_b) == set(logs_f)
+    for k in logs_b:
+        assert abs(logs_b[k] - logs_f[k]) < 1e-9, (k, logs_b, logs_f)
+
 
 def test_train_itm_hard_negatives_resume_matches_continuous(itm_env):
     """Interrupted-and-resumed HN training continues on the batches the

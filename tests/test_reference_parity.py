@@ -184,11 +184,11 @@ def assert_seq_close(our_seq, ref_seq, tls, nbs, t=T):
 
 
 def load_ref_params(our_init, ref_model, *, prefix="uniter",
-                    allow_unfilled=()):
+                    allow_unfilled=(), layers=LAYERS):
     """Reference state_dict -> our flax params; assert full coverage."""
     norm = ckpt.normalize_state_dict(
         {k: v for k, v in ref_model.state_dict().items()})
-    flat, missing, _ = ckpt.uniter_params_from_state_dict(norm, LAYERS)
+    flat, missing, _ = ckpt.uniter_params_from_state_dict(norm, layers)
     assert not missing, missing
     params, filled1 = ckpt.merge_into_params(
         dict(our_init), flat, prefix=prefix)
@@ -536,3 +536,105 @@ def test_export_roundtrip(refpkg):
     for p, a in ckpt.flatten(params).items():
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(ckpt.flatten(params2)[p]), err_msg=p)
+
+
+def test_full_width_base_parity(refpkg):
+    """uniter-base geometry (12L / 768H / 12 heads / 3072 inter / 28996
+    vocab / 2048-dim features — /root/reference/config/uniter-base.json):
+    the toy-width gate (H=64) cannot catch width-dependent bugs in head-dim
+    packing, transpose conventions at 768, or the 28996-vocab MLM tying.
+    Covers trunk + pooler + the tied MLM decode + ITM head in fp32."""
+    torch.manual_seed(6)
+    FV, FH, FL, FHEADS, FI, FIMG = 28996, 768, 12, 12, 3072, 2048
+    FT, FR = 12, 8
+    rcfg = refpkg.model.UniterConfig(
+        FV, hidden_size=FH, num_hidden_layers=FL,
+        num_attention_heads=FHEADS, intermediate_size=FI,
+        max_position_embeddings=512, type_vocab_size=2)
+    rmodel = refpkg.pretrain.UniterForPretraining(
+        rcfg, img_dim=FIMG, img_label_dim=1601).eval()
+
+    from uniter_tpu.data.buckets import slots_from_labels
+    from uniter_tpu.models.pretrain import UniterForPretraining
+
+    cfg = UniterConfig(
+        vocab_size=FV, hidden_size=FH, num_hidden_layers=FL,
+        num_attention_heads=FHEADS, intermediate_size=FI,
+        max_position_embeddings=512, type_vocab_size=2,
+        dtype="float32", attention_impl="xla")
+    model = UniterForPretraining(cfg, img_dim=FIMG, img_label_dim=1601)
+
+    rng = np.random.RandomState(11)
+    b, tls, nbs = 2, [9, 6], [7, 5]
+    toks = [rng.randint(5, FV, n).astype(np.int64) for n in tls]
+    feats = [rng.randn(n, FIMG).astype(np.float32) for n in nbs]
+    pos7 = [rng.rand(n, 7).astype(np.float32) for n in nbs]
+
+    ob = dict(
+        input_ids=np.zeros((b, FT), np.int32),
+        position_ids=np.broadcast_to(
+            np.arange(FT, dtype=np.int32), (b, FT)).copy(),
+        img_feat=np.zeros((b, FR, FIMG), np.float32),
+        img_pos_feat=np.zeros((b, FR, 7), np.float32),
+        attn_mask=np.zeros((b, FT + FR), np.int32),
+    )
+    for i in range(b):
+        ob["input_ids"][i, :tls[i]] = toks[i]
+        ob["img_feat"][i, :nbs[i]] = feats[i]
+        ob["img_pos_feat"][i, :nbs[i]] = pos7[i]
+        ob["attn_mask"][i, :tls[i]] = 1
+        ob["attn_mask"][i, FT:FT + nbs[i]] = 1
+    ob = {k: jnp.asarray(v) for k, v in ob.items()}
+    ob["mlm_pos"] = jnp.zeros((b, 4), jnp.int32)
+    ob["mrm_pos"] = jnp.zeros((b, 4), jnp.int32)
+    init = model.init({"params": jax.random.PRNGKey(0)}, ob,
+                      method=UniterForPretraining.init_all)["params"]
+    params = load_ref_params(init, rmodel, layers=FL)
+
+    t_ref, r_ref = max(tls), max(nbs)
+    out_len = max(tl + nb for tl, nb in zip(tls, nbs))
+    rb = dict(
+        input_ids=torch.zeros(b, t_ref, dtype=torch.long),
+        position_ids=torch.arange(
+            t_ref, dtype=torch.long)[None].repeat(b, 1),
+        img_feat=torch.zeros(b, r_ref, FIMG),
+        img_pos_feat=torch.zeros(b, r_ref, 7),
+        attn_masks=torch.zeros(b, out_len, dtype=torch.long),
+        gather_index=torch.arange(
+            out_len, dtype=torch.long)[None].repeat(b, 1),
+    )
+    for i in range(b):
+        rb["input_ids"][i, :tls[i]] = torch.from_numpy(toks[i])
+        rb["img_feat"][i, :nbs[i]] = torch.from_numpy(feats[i])
+        rb["img_pos_feat"][i, :nbs[i]] = torch.from_numpy(pos7[i])
+        rb["attn_masks"][i, :tls[i] + nbs[i]] = 1
+        rb["gather_index"][i, tls[i]:tls[i] + nbs[i]] = torch.arange(
+            t_ref, t_ref + nbs[i], dtype=torch.long)
+
+    # MLM (tied decode over the full 28996 vocab)
+    txt_labels = np.full((b, FT), -1, np.int64)
+    for i, tl in enumerate(tls):
+        for p in rng.choice(np.arange(1, tl - 1), 2, replace=False):
+            txt_labels[i, p] = rng.randint(5, FV)
+    mlm_pos, mlm_tgt = slots_from_labels(txt_labels, 4)
+    ob_mlm = dict(ob, mlm_pos=jnp.asarray(mlm_pos),
+                  mlm_tgt=jnp.asarray(mlm_tgt))
+    ours = np.asarray(model.apply({"params": params}, ob_mlm, "mlm", False,
+                                  deterministic=True))
+    rb_mlm = dict(rb, txt_labels=torch.from_numpy(txt_labels[:, :t_ref]))
+    with torch.no_grad():
+        ref = rmodel(rb_mlm, "mlm", compute_loss=False).numpy()
+    np.testing.assert_allclose(
+        ours[np.asarray(mlm_tgt) != -1], ref, rtol=1e-4, atol=1e-4)
+
+    # ITM (pooler + head at full width)
+    ob_itm = dict(ob, targets=jnp.asarray(np.ones(b, np.int32)),
+                  compute_ot=False)
+    ours_itm, _ = model.apply({"params": params}, ob_itm, "itm", False,
+                              deterministic=True)
+    rb_itm = dict(rb, targets=torch.ones(b, dtype=torch.long),
+                  ot_inputs=None)
+    with torch.no_grad():
+        ref_itm, _ = rmodel(rb_itm, "itm", compute_loss=False)
+    np.testing.assert_allclose(np.asarray(ours_itm), ref_itm.numpy(),
+                               rtol=1e-4, atol=1e-4)

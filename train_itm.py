@@ -47,49 +47,90 @@ def build_model_and_params(opts, rng):
     return model, cfg, params
 
 
-def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None):
+def _window_recall_logs(ranks):
+    """Windowed-recall counters -> the reference's validation scalars
+    (train_itm_hard_negatives.py:298-339)."""
+    n = max(len(ranks), 1)
+    ranks = np.asarray(ranks)
+    logs = {"recall_1": float((ranks < 1).sum()) / n,
+            "recall_5": float((ranks < 5).sum()) / n,
+            "recall_10": float((ranks < 10).sum()) / n}
+    logs["r_mean"] = (logs["recall_1"] + logs["recall_5"]
+                      + logs["recall_10"]) / 3
+    return logs
+
+
+def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
+                       impl="auto"):
     """Full-matrix R@K for ItmEvalDataset; windowed gt-rank recall for
     ItmValDataset (the reference's in-training validation,
     train_itm_hard_negatives.py:268-310: gt sits at window index 0 and is
-    ranked among the window's scores)."""
+    ranked among the window's scores).
+
+    ``impl``: 'fast' scores device-resident tiles over every local chip
+    (utils/itm_fast.py) — for ItmValDataset the full matrix is computed and
+    each text's circular window is read out of it (identical per-pair
+    scores => identical recall); 'batched' keeps the per-text minibatch
+    loop with each minibatch sharded over local chips; 'auto' picks fast on
+    accelerators and batched on CPU."""
     from uniter_tpu.data.itm import ItmEvalDataset
     from uniter_tpu.parallel.collectives import all_gather_list
+    from uniter_tpu.training.infer import local_eval_mesh
+    from uniter_tpu.utils.itm_fast import fast_score_matrix
 
     if t_bucket is None or r_bucket is None:
         t_hint, r_hint = val_ds.bucket_hint()
         t_bucket, r_bucket = t_bucket or t_hint, r_bucket or r_hint
-    predict = jax.jit(
-        lambda p, b: model.apply({"params": p}, b, False))
-    if isinstance(val_ds, ItmEvalDataset):
+    if impl == "auto":
+        impl = "batched" if jax.default_backend() == "cpu" else "fast"
+    mesh = local_eval_mesh()
+    full_matrix = isinstance(val_ds, ItmEvalDataset)
+    shard = driver.shard_kw()
+
+    if impl == "fast":
+        mat, txt_ids = fast_score_matrix(
+            model, params, val_ds, t_bucket, r_bucket,
+            dtype=model.config.dtype, mesh=mesh, **shard)
+    elif full_matrix:
+        predict = jax.jit(
+            lambda p, b: model.apply({"params": p}, b, False))
         mat, txt_ids = inference_score_matrix(
-            predict, val_ds, params, t_bucket, r_bucket,
-            **driver.shard_kw())
+            predict, val_ds, params, t_bucket, r_bucket, mesh=mesh, **shard)
+    if full_matrix:
         mats = all_gather_list((mat, txt_ids))
         mat = np.concatenate([m for m, _ in mats if m.size])
         txt_ids = [t for _, ts in mats for t in ts]
         return itm_eval(mat, txt_ids, val_ds.all_img_ids, val_ds.txt2img,
                         val_ds.img2txts)
-    shard = driver.shard_kw()
-    r1 = r5 = r10 = n = 0
-    for i in range(shard["shard_index"], len(val_ds), shard["shard_count"]):
-        scores = []
-        for batch in val_ds.get_batches(i, t_bucket, r_bucket):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
-            scores.append(np.asarray(predict(params, jb))[:, 0])
-        s = np.concatenate(scores)
-        rank = int(np.argsort(-s).tolist().index(0))
-        r1 += rank < 1
-        r5 += rank < 5
-        r10 += rank < 10
-        n += 1
-    r1, r5, r10, n = (sum(v) for v in zip(
-        *all_gather_list((r1, r5, r10, n))))
-    n = max(n, 1)
-    logs = {"recall_1": r1 / n, "recall_5": r5 / n, "recall_10": r10 / n}
-    logs["r_mean"] = (logs["recall_1"] + logs["recall_5"]
-                      + logs["recall_10"]) / 3
-    return logs
+
+    # windowed recall (ItmValDataset)
+    n_img = len(val_ds.all_img_ids)
+    ranks = []
+    if impl == "fast":
+        # window(i) is the circular range starting at the gt's position
+        # (data/itm.py _window), so its scores are a gather from the
+        # text's full score row
+        for row, t in zip(mat, txt_ids):
+            j = val_ds._img_pos[val_ds.txt2img[t]]
+            s = row[(j + np.arange(val_ds.bs)) % n_img]
+            ranks.append(int(np.argsort(-s).tolist().index(0)))
+    else:
+        predict = jax.jit(
+            lambda p, b: model.apply({"params": p}, b, False))
+        for i in range(shard["shard_index"], len(val_ds),
+                       shard["shard_count"]):
+            scores = []
+            for batch in val_ds.get_batches(i, t_bucket, r_bucket):
+                from uniter_tpu.training.infer import eval_put
+
+                n_real = int(batch["ex_weight"].sum())
+                jb = eval_put({k: v for k, v in batch.items()
+                               if isinstance(v, np.ndarray)}, mesh)
+                scores.append(np.asarray(predict(params, jb))[:n_real, 0])
+            s = np.concatenate(scores)
+            ranks.append(int(np.argsort(-s).tolist().index(0)))
+    all_ranks = [r for part in all_gather_list(ranks) for r in part]
+    return _window_recall_logs(all_ranks)
 
 
 def main(opts):

@@ -200,13 +200,18 @@ class ItmValDataset(JointDataset):
         ]
         return [gt_img] + neg
 
-    def batch_for(self, i: int, img_ids: List[str], t_bucket, r_bucket):
+    def batch_for(self, i: int, img_ids: List[str], t_bucket, r_bucket,
+                  pad_to: int = 0):
+        """``pad_to``: fixed batch size (ragged tail windows pad with
+        ex_weight-0 rows — one compiled program per bucket instead of one
+        per tail length, and the row count stays mesh-divisible)."""
         ids = self.txt_db.combine_inputs(self.example(i)["input_ids"])
         rows = []
         for im in img_ids:
             feat, pos7, _ = self.img_db.get_img_feat(im)
             rows.append(dict(input_ids=ids, img_feat=feat, img_pos_feat=pos7))
-        return collate_joint(rows, t_bucket, r_bucket, len(rows))
+        return collate_joint(rows, t_bucket, r_bucket,
+                             max(pad_to, len(rows)))
 
     def get_batches(self, i: int, t_bucket, r_bucket):
         return [self.batch_for(i, self._window(i), t_bucket, r_bucket)]
@@ -225,5 +230,6 @@ class ItmEvalDataset(ItmValDataset):
         out = []
         for st in range(0, len(self.all_img_ids), self.bs):
             window = self.all_img_ids[st:st + self.bs]
-            out.append(self.batch_for(i, window, t_bucket, r_bucket))
+            out.append(self.batch_for(i, window, t_bucket, r_bucket,
+                                      pad_to=self.bs))
         return out

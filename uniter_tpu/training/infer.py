@@ -59,6 +59,56 @@ def resolve_ckpt(train_dir: str, ckpt: Optional[str] = None) -> str:
     return path
 
 
+def local_eval_mesh():
+    """Mesh over THIS process's devices for eval/inference compute.
+
+    Eval work is sharded by *process* (each host scores its own rows and
+    results are all-gathered — reference utils/itm_eval.py:99-110 and every
+    inf_*.py run all ranks), so within a process the batch must spread over
+    the local chips only; a global mesh would demand lockstep batches
+    across hosts, which the per-host eval loops don't produce."""
+    import jax
+
+    from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    return make_mesh(MeshConfig(data=-1), devices=jax.local_devices())
+
+
+def eval_put(batch: dict, mesh, strict: bool = False) -> dict:
+    """device_put a host eval batch with the leading (batch) axis sharded
+    over the mesh's data axis so every local chip computes a slice
+    (reference: all inference runs multi-GPU; the rebuild previously
+    computed eval on one chip per process).
+
+    Rows are zero-padded up to a data-axis multiple. Padding rows are
+    all-zero, so callers must either trim outputs to their real row count
+    (the inf_* loops index by qids/ex_weight) or pass ``strict=True`` to
+    assert divisibility instead — required when the caller reduces with
+    in-batch masks like ``tgt != -1`` that would mis-count zero rows.
+    Non-array values (qids and other host metadata) pass through."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["data"]
+    sh = NamedSharding(mesh, P("data"))
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray):
+            out[k] = v
+            continue
+        pad = (-v.shape[0]) % n
+        if pad:
+            assert not strict, (
+                f"eval batch axis {v.shape[0]} ({k}) not divisible by the "
+                f"{n}-device data axis — this caller relies on in-batch "
+                "masks and cannot tolerate zero padding rows")
+            v = np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+        out[k] = jax.device_put(v, sh)
+    return out
+
+
 def load_params(path: str, template_params):
     if path.endswith(".msgpack"):
         return load_params_msgpack(path, template_params)

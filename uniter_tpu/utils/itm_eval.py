@@ -54,11 +54,17 @@ def itm_eval(score_matrix: np.ndarray, txt_ids: List[str],
 
 
 def inference_score_matrix(predict_fn, eval_dataset, params, t_bucket,
-                           r_bucket, shard_index=0, shard_count=1):
+                           r_bucket, shard_index=0, shard_count=1,
+                           mesh=None):
     """Compute score_matrix rows [n_txt_shard, n_img] (reference :93-114).
 
     predict_fn(params, batch) -> [B, 1] rank scores (jit-compiled once per
-    minibatch shape). Texts are sharded across processes.
+    minibatch shape). Texts are sharded across processes; with a ``mesh``
+    (local devices) each minibatch's row axis is additionally sharded over
+    the mesh's data axis so every local chip scores a slice (the reference
+    runs the whole job's GPUs on eval, utils/itm_eval.py:99-110). Padding
+    rows (ex_weight 0 from fixed-size windows, plus any mesh-divisibility
+    zero rows) are trimmed from each window's scores.
     """
     import jax.numpy as jnp
 
@@ -68,10 +74,19 @@ def inference_score_matrix(predict_fn, eval_dataset, params, t_bucket,
     for i in range(shard_index, n, shard_count):
         scores = []
         for batch in eval_dataset.get_batches(i, t_bucket, r_bucket):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
+            n_real = (int(batch["ex_weight"].sum())
+                      if "ex_weight" in batch
+                      else batch["input_ids"].shape[0])
+            if mesh is not None:
+                from uniter_tpu.training.infer import eval_put
+
+                jb = eval_put({k: v for k, v in batch.items()
+                               if isinstance(v, np.ndarray)}, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
             out = predict_fn(params, jb)
-            scores.append(np.asarray(out)[:, 0])
+            scores.append(np.asarray(out)[:n_real, 0])
         rows.append(np.concatenate(scores))
         txt_ids.append(eval_dataset.ids[i])
     return np.stack(rows) if rows else np.zeros((0, 0)), txt_ids
