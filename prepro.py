@@ -315,8 +315,16 @@ def main(opts):
                 json.dump(obj, f)
         id2len = id2len_qar  # generic id2len.json mirrors the longest task
     elif opts.task == "re":
-        with open(opts.annotation) as f:
-            refs = json.load(f)
+        if opts.annotation.endswith(".p"):
+            # MAttNet-layout refs pickle (refs(unc).p / refs(umd).p — the
+            # files the reference's create_txtdb_re.sh feeds in)
+            import pickle
+
+            with open(opts.annotation, "rb") as f:
+                refs = pickle.load(f)
+        else:
+            with open(opts.annotation) as f:
+                refs = json.load(f)
         with open(opts.instances) as f:
             instances = json.load(f)
         with open(opts.iid_to_ann_ids) as f:
