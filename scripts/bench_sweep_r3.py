@@ -1,0 +1,108 @@
+"""r3 TPU perf sweep (VERDICT r2 #7): B-resweep at native S=128 buckets
+post-block-fusion, big-batch retest, residual-dropout ceiling, higher
+steps_per_call. One process, sequential configs, persistent compile cache.
+
+Usage (real TPU, no env overrides):  python scripts/bench_sweep_r3.py
+Appends one JSON line per config to stdout and /tmp/bench_sweep_r3.jsonl.
+tok_per_s = ex_per_s * (T + R) is the cross-shape comparable number.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+CONFIGS = [
+    dict(name="base_B96_S104", B=96, T=64, R=40),
+    dict(name="S128_B96", B=96, T=64, R=64),
+    dict(name="S128_B128", B=128, T=64, R=64),
+    dict(name="B112_S104", B=112, T=64, R=40),
+    dict(name="B192_S104", B=192, T=64, R=40),
+    dict(name="dropout0_B96_S104", B=96, T=64, R=40, dropout=0.0),
+    dict(name="k32_B96_S104", B=96, T=64, R=40, k=32),
+]
+
+
+def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas"):
+    import jax
+    import jax.numpy as jnp
+
+    from uniter_tpu.config import base_config
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.sched import get_lr_schedule
+    from uniter_tpu.training.step import TrainState, make_train_step
+
+    kw = dict(dtype="bfloat16", attention_impl=attention_impl,
+              scan_unroll=12, block_fusion="pallas")
+    if dropout is not None:
+        kw.update(hidden_dropout_prob=dropout,
+                  attention_probs_dropout_prob=dropout)
+    cfg = base_config(**kw)
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=2048)
+    rng_np = np.random.RandomState(0)
+    batch = dict(
+        input_ids=jnp.asarray(rng_np.randint(1, 28000, (B, T)), jnp.int32),
+        position_ids=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)),
+        img_feat=jnp.asarray(rng_np.randn(B, R, 2048).astype(np.float32)),
+        img_pos_feat=jnp.asarray(rng_np.rand(B, R, 7).astype(np.float32)),
+        attn_mask=jnp.ones((B, T + R), jnp.int32),
+        targets=jnp.asarray((rng_np.rand(B, 3129) < 0.003).astype(np.float32)),
+    )
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch, False)[
+        "params"]
+    tx = build_optimizer(params, get_lr_schedule(8e-5, 600, 6000),
+                         grad_norm=2.0, weight_decay=0.01, fused=True,
+                         mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(p, b, r):
+        per_elem = model.apply({"params": p}, b, True, deterministic=False,
+                               rngs={"dropout": r})
+        return jnp.mean(per_elem) * 3129, {}
+
+    step = make_train_step(loss_fn, loss_scale="mean", steps_per_call=k)
+    if k > 1:
+        batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (k,) + x.shape),
+                             batch)
+    rng = jax.random.key(1, impl="rbg")
+    for _ in range(3):
+        state, metrics = step(state, batch, rng)
+    assert np.isfinite(float(np.asarray(metrics["loss"]).reshape(-1)[-1]))
+    n_iters = max(32 // k, 3)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch, rng)
+    _ = float(np.asarray(metrics["loss"]).reshape(-1)[-1])  # relay fence
+    dt = time.perf_counter() - t0
+    return n_iters * k * B / dt
+
+
+def main():
+    out_path = "/tmp/bench_sweep_r3.jsonl"
+    for c in CONFIGS:
+        c = dict(c)
+        name = c.pop("name")
+        t0 = time.time()
+        try:
+            ex_s = run_one(**c)
+            rec = dict(name=name, **c, ex_per_s=round(ex_s, 1),
+                       tok_per_s=round(ex_s * (c["T"] + c["R"])),
+                       wall_s=round(time.time() - t0, 1))
+        except Exception as e:  # keep sweeping
+            rec = dict(name=name, **c, error=repr(e)[:300],
+                       wall_s=round(time.time() - t0, 1))
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with open(out_path, "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
