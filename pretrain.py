@@ -260,6 +260,8 @@ def main(opts):
         accum=accum > 1, loss_units_fn=pretrain_loss_units,
         profile_dir=getattr(opts, "profile_dir", None),
         transfer_dtype=None if cdt == jnp.float32 else cdt,
+        wire_codec=(None if getattr(opts, "wire_codec", "cast") == "cast"
+                    else opts.wire_codec),
         lr_schedule=sched)
     return loop.run()
 

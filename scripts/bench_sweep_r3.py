@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-CONFIGS = [
+CONFIGS_R1 = [
     dict(name="base_B96_S104", B=96, T=64, R=40),
     dict(name="S128_B96", B=96, T=64, R=64),
     dict(name="S128_B128", B=128, T=64, R=64),
@@ -27,6 +27,15 @@ CONFIGS = [
     dict(name="dropout0_B96_S104", B=96, T=64, R=40, dropout=0.0),
     dict(name="k32_B96_S104", B=96, T=64, R=40, k=32),
 ]
+CONFIGS_R2 = [
+    dict(name="dropout0_B96_S104", B=96, T=64, R=40, dropout=0.0),
+    dict(name="B128_S104", B=128, T=64, R=40),
+    dict(name="B160_S104", B=160, T=64, R=40),
+    dict(name="base_B96_S104_rep", B=96, T=64, R=40),
+    dict(name="k32_B96_S104_rep", B=96, T=64, R=40, k=32),
+]
+import os as _os
+CONFIGS = CONFIGS_R2 if _os.environ.get("SWEEP_ROUND") == "2" else CONFIGS_R1
 
 
 def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas"):

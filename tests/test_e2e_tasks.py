@@ -147,6 +147,28 @@ def test_train_vqa_fsdp_e2e_and_resume(env):
     assert int(state.step) == 4
 
 
+def test_train_vqa_wire_codec_int8_e2e(env):
+    """--wire_codec int8 drives the full training loop (quantized wire,
+    on-device dequant) to completion."""
+    import train_vqa
+    from uniter_tpu.utils.misc import parse_with_config
+
+    argv = [
+        "--train_txt_db", env["txt"], "--train_img_db", env["img"],
+        "--val_txt_db", env["txt"], "--val_img_db", env["img"],
+        "--model_config", env["cfg"],
+        "--output_dir", env["root"] + "/vqa_q8_out",
+        "--num_answer", "7",
+        "--train_batch_size", "256", "--val_batch_size", "256",
+        "--num_train_steps", "2", "--valid_steps", "100",
+        "--warmup_steps", "1", "--max_bb", "10", "--min_bb", "3",
+        "--dtype", "float32", "--seed", "5", "--wire_codec", "int8",
+    ]
+    opts = parse_with_config(train_vqa.get_parser(), argv)
+    state = train_vqa.main(opts)
+    assert int(state.step) == 2
+
+
 def test_pretrain_validate_sharded_matches_single_device(env, monkeypatch):
     """pretrain.validate now spreads every val batch over the local chips
     (reference pretrain.py:390-544: all ranks validate); the metrics must

@@ -159,9 +159,12 @@ def main(opts):
     # every host builds the IDENTICAL candidate batches (same-seed
     # loaders over the unsharded dataset); device_put slices this host's
     # block of the candidate axis (local=False)
+    wire = (None if getattr(opts, "wire_codec", "cast") == "cast"
+            else opts.wire_codec)
     it = DevicePrefetcher(
         stacked_batches(),
-        lambda b: device_put_batch(b, mesh, accum=True, local=False),
+        lambda b: device_put_batch(b, mesh, accum=True, local=False,
+                                   wire_codec=wire),
         depth=2)
 
     import time

@@ -61,6 +61,12 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="storage dtype for BOTH Adam moments (bfloat16 "
                              "halves optimizer HBM traffic; fp32 arithmetic "
                              "either way; requires --fused_adamw)")
+    parser.add_argument("--wire_codec", default="cast",
+                        choices=["cast", "int8"],
+                        help="host->device format for img_feat: 'cast' "
+                             "ships compute-dtype (bit-exact); 'int8' "
+                             "ships per-row int8+scale (1/4 the bytes, "
+                             "~0.4%% feature error — for wire-bound hosts)")
     parser.add_argument("--dropout_impl", default="xla",
                         choices=["xla", "u16", "u8"],
                         help="u16: half-traffic 16-bit dropout masks "
@@ -352,6 +358,8 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         validate_fn=validate_fn, saver=saver,
         seed=opts.seed, profile_dir=getattr(opts, "profile_dir", None),
         transfer_dtype=None if cdt == jnp.float32 else cdt,
+        wire_codec=(None if getattr(opts, "wire_codec", "cast") == "cast"
+                    else opts.wire_codec),
         steps_per_call=getattr(opts, "steps_per_call", 1),
         warmup_batches=warmup, lr_schedule=sched, loss_scale=loss_scale)
     state = loop.run()
