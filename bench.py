@@ -79,10 +79,11 @@ def main():
                 rngs={"dropout": r})
             return jnp.mean(per_elem) * 3129, {}
 
-        # measure the recommended throughput configuration: 16 optimizer
-        # steps per jit call (--steps_per_call 16; amortizes per-step
-        # dispatch via the remote relay)
-        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "16"))
+        # measure the recommended throughput configuration: 32 optimizer
+        # steps per jit call (--steps_per_call 32; amortizes per-step
+        # dispatch via the remote relay — r3 sweep: k=32 is a consistent
+        # +0.5% over k=16, 1912-1916 vs 1905-1907 ex/s)
+        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "32"))
         step = make_train_step(loss_fn, loss_scale="mean",
                                steps_per_call=k)
         if k > 1:

@@ -122,7 +122,7 @@ def get_parser():
                         help="fast: device-resident tiled scoring; batched: "
                              "per-text minibatches (reference-style)")
     parser.add_argument("--txt_tile", type=int, default=32)
-    parser.add_argument("--img_tile", type=int, default=64)
+    parser.add_argument("--img_tile", type=int, default=128)
     return parser
 
 

@@ -34,8 +34,14 @@ CONFIGS_R2 = [
     dict(name="base_B96_S104_rep", B=96, T=64, R=40),
     dict(name="k32_B96_S104_rep", B=96, T=64, R=40, k=32),
 ]
+CONFIGS_R3 = [
+    # composition untested in r2: XLA fused attention + Pallas block tails
+    dict(name="xla_attn_blockfused", B=96, T=64, R=40,
+         attention_impl="xla"),
+]
 import os as _os
-CONFIGS = CONFIGS_R2 if _os.environ.get("SWEEP_ROUND") == "2" else CONFIGS_R1
+CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3}.get(
+    _os.environ.get("SWEEP_ROUND", "1"), CONFIGS_R1)
 
 
 def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas"):

@@ -51,7 +51,7 @@ def build_eval_arrays(eval_ds, t_bucket: int, r_bucket: int):
 
 
 def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
-                      txt_tile: int = 32, img_tile: int = 64,
+                      txt_tile: int = 32, img_tile: int = 128,
                       shard_index: int = 0, shard_count: int = 1,
                       dtype="bfloat16", mesh=None):
     """[n_txt_shard, n_img] rank-score matrix + the shard's txt ids.
@@ -62,10 +62,13 @@ def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
     With a ``mesh``, each tile's text axis is additionally sharded over the
     mesh's data axis, so all local chips score pairs concurrently
     (pairs/s/chip is compute-bound at ~5k for uniter-base; multi-chip is
-    the scaling axis for COCO-size evals). Default tile = 2048 pairs/call:
-    measured +10% over 512 on v5e (5125 vs 4650 pairs/s — bigger forward
-    batches amortize scheduling; B>2048 plateaus) while padding waste stays
-    negligible at Flickr/COCO eval sizes.
+    the scaling axis for COCO-size evals). Default tile = 4096 pairs/call
+    (32 x 128): r3 sweep at 512x512 corpus shapes — 4192 pairs/s vs 4013
+    at 2048 (32x64) and 4119 at 8192 (64x128); a WIDE image axis beats a
+    tall text axis at equal pair count (text rows replicate img_tile
+    times on device, so larger img_tile also builds the tile batch from
+    fewer distinct text rows). r2's 512-pair tiles: 4650 vs 5125 at 2048
+    on the R=64 shapes.
     """
     import jax
     import jax.numpy as jnp
