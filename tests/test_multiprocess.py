@@ -419,3 +419,157 @@ def test_resume_single_process_ckpt_in_two_process_run(tmp_path):
     assert step3[0] == step3[1], step3
     np.testing.assert_allclose(step3[0], oracle_losses[2],
                                rtol=1e-6, atol=1e-7)
+
+
+EVAL_WORKER = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process, 4 global
+port, pid, repo, dbroot = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, repo)
+import jax.numpy as jnp
+from uniter_tpu.config import tiny_config
+from uniter_tpu.data.buckets import BucketSpec
+from uniter_tpu.data.img_db import DetectFeatDb
+from uniter_tpu.data.loader import BucketLoader
+from uniter_tpu.data.txt_db import TxtTokDb
+from uniter_tpu.data.vqa import VqaDataset
+from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+from uniter_tpu.parallel.collectives import all_gather_list
+from uniter_tpu.training.infer import eval_put, local_eval_mesh
+from uniter_tpu.training.loop import jnp_batch
+
+# the eval mesh must span only THIS process's chips
+mesh = local_eval_mesh()
+assert mesh.shape["data"] == 2, mesh
+
+# dataset-level sharding (the inf_* contract: host-local compute + gather)
+ds = VqaDataset(5, TxtTokDb(f"{dbroot}/txt", max_txt_len=20),
+                DetectFeatDb(f"{dbroot}/img", 0.2, 10, 3, 5),
+                shard_index=pid, shard_count=2)
+spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,), token_budget=192,
+                  size_mul=8)
+loader = BucketLoader(ds, spec, shuffle=False, drop_last=False)
+cfg = tiny_config()
+model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
+init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
+              position_ids=jnp.zeros((2, 16), jnp.int32),
+              img_feat=jnp.zeros((2, 8, 2048), jnp.float32),
+              img_pos_feat=jnp.zeros((2, 8, 7), jnp.float32),
+              attn_mask=jnp.ones((2, 24), jnp.int32))
+params = model.init({"params": jax.random.PRNGKey(0)}, init_b, False)[
+    "params"]
+predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+results = {}
+for batch in loader:
+    jb = eval_put(jnp_batch(batch), mesh)
+    logits = np.asarray(predict(params, jb))
+    n = len(batch["qids"])
+    for qid, row in zip(batch["qids"], logits[:n]):
+        results[qid] = row.astype(np.float32)
+parts = all_gather_list(results)
+merged = {}
+for part in parts:
+    merged.update(part)
+assert len(merged) == 16, sorted(merged)
+if pid == 0:
+    np.savez(f"{dbroot}/eval_logits.npz", **merged)
+print("EVAL_OK", pid, flush=True)
+"""
+
+
+def test_two_process_chip_parallel_eval_matches_single(tmp_path):
+    """Two-level eval parallelism for real: a 2-process job shards the
+    dataset per process, spreads each batch over its local chips
+    (infer.local_eval_mesh + eval_put), gathers, and the merged logits
+    equal a single-process single-mesh evaluation."""
+    import numpy as np
+
+    from uniter_tpu.data import write_img_db, write_txt_db
+
+    rng = np.random.RandomState(0)
+    img_names = [f"im_{i}.npz" for i in range(4)]
+    recs = {n: dict(features=rng.randn(5, 2048).astype(np.float16),
+                    norm_bb=rng.rand(5, 6).astype(np.float16),
+                    conf=np.linspace(1, .5, 5).astype(np.float16),
+                    soft_labels=rng.rand(5, 1601).astype(np.float16))
+            for n in img_names}
+    write_img_db(str(tmp_path / "img"), recs, conf_th=0.2, max_bb=10,
+                 min_bb=3)
+    meta = {"CLS": 2, "SEP": 3, "MASK": 4, "v_range": [6, 400]}
+    trecs, t2i = {}, {}
+    for i in range(16):
+        tid = f"q{i}"
+        trecs[tid] = dict(
+            input_ids=[int(x) for x in rng.randint(6, 400, 7)],
+            img_fname=img_names[i % 4],
+            target={"labels": [int(rng.randint(0, 5))], "scores": [1.0]})
+        t2i[tid] = img_names[i % 4]
+    write_txt_db(str(tmp_path / "txt"), trecs, meta, t2i)
+
+    worker = tmp_path / "eval_worker.py"
+    worker.write_text(EVAL_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), port, str(pid), REPO,
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"EVAL_OK {pid}" in out, out
+
+    # single-process oracle over the full dataset, default 8-device mesh
+    import jax
+    import jax.numpy as jnp
+
+    from uniter_tpu.config import tiny_config
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.img_db import DetectFeatDb
+    from uniter_tpu.data.loader import BucketLoader
+    from uniter_tpu.data.txt_db import TxtTokDb
+    from uniter_tpu.data.vqa import VqaDataset
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.training.infer import eval_put, local_eval_mesh
+    from uniter_tpu.training.loop import jnp_batch
+
+    ds = VqaDataset(5, TxtTokDb(str(tmp_path / "txt"), max_txt_len=20),
+                    DetectFeatDb(str(tmp_path / "img"), 0.2, 10, 3, 5))
+    spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,),
+                      token_budget=192, size_mul=8)
+    loader = BucketLoader(ds, spec, shuffle=False, drop_last=False)
+    cfg = tiny_config()
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
+    init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
+                  position_ids=jnp.zeros((2, 16), jnp.int32),
+                  img_feat=jnp.zeros((2, 8, 2048), jnp.float32),
+                  img_pos_feat=jnp.zeros((2, 8, 7), jnp.float32),
+                  attn_mask=jnp.ones((2, 24), jnp.int32))
+    params = model.init({"params": jax.random.PRNGKey(0)}, init_b, False)[
+        "params"]
+    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    mesh = local_eval_mesh()
+    oracle = {}
+    for batch in loader:
+        jb = eval_put(jnp_batch(batch), mesh)
+        logits = np.asarray(predict(params, jb))
+        for qid, row in zip(batch["qids"],
+                            logits[:len(batch["qids"])]):
+            oracle[qid] = row
+
+    dist = np.load(str(tmp_path / "eval_logits.npz"))
+    assert sorted(dist.files) == sorted(oracle)
+    for qid in oracle:
+        np.testing.assert_allclose(dist[qid], oracle[qid],
+                                   rtol=1e-5, atol=1e-6, err_msg=qid)
