@@ -69,13 +69,12 @@ def main(opts):
     from uniter_tpu.training.driver import shard_kw
 
     if opts.eval_impl == "fast":
-        from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
+        from uniter_tpu.training.infer import local_eval_mesh
         from uniter_tpu.utils.itm_fast import fast_score_matrix
 
         # tile over THIS process's chips only — texts are already sharded
-        # across processes; a global mesh would make per-host tiles
-        # non-addressable
-        mesh = make_mesh(MeshConfig(data=-1), devices=jax.local_devices())
+        # across processes (local_eval_mesh rationale)
+        mesh = local_eval_mesh()
         mat, txt_ids = fast_score_matrix(
             model, params, ds, opts.txt_bucket, opts.img_bucket,
             txt_tile=opts.txt_tile, img_tile=opts.img_tile,

@@ -118,13 +118,17 @@ def validate(model, params, val_loaders, pred_cache=None):
     jitted predictors across validation rounds (a fresh lambda per call
     would recompile every time). Batches shard over every local chip
     (reference: all ranks validate, pretrain.py:390-544); the reductions
-    below use in-batch masks, so batches must be divisible (strict) — the
-    bucket specs guarantee it (size_mul covers the device count)."""
+    below use in-batch masks, so mask-bearing fields pad with their
+    ignore sentinel; params are made process-local first (state.params
+    live on the GLOBAL training mesh — collective, lockstep)."""
     import time
 
-    from uniter_tpu.training.infer import eval_put, local_eval_mesh
+    from uniter_tpu.training.infer import (
+        eval_put, local_eval_mesh, local_eval_params,
+    )
 
     mesh = local_eval_mesh()
+    params = local_eval_params(params)
     logs = {}
     pred_cache = {} if pred_cache is None else pred_cache
     for name, loader in val_loaders.items():
@@ -143,24 +147,28 @@ def validate(model, params, val_loaders, pred_cache=None):
                         {"params": p}, b, t, False, deterministic=True))
         pred = pred_cache[task]
         for batch in loader:
+            # zero rows may be appended for data-axis divisibility; every
+            # readback below trims to the host batch's row count, so the
+            # in-batch-mask reductions never see them
+            n_rows = batch["input_ids"].shape[0]
             jb = eval_put({k: v for k, v in batch.items()
-                           if isinstance(v, np.ndarray)}, mesh, strict=True)
+                           if isinstance(v, np.ndarray)}, mesh)
             out = pred(params, jb)
             if task == "mlm":
-                logits = np.asarray(out)  # [B, M, V]
+                logits = np.asarray(out)[:n_rows]  # [B, M, V]
                 tgt = np.asarray(batch["mlm_tgt"])
                 valid = tgt != -1
                 n_correct += int((logits.argmax(-1) == tgt)[valid].sum())
                 n_word += int(valid.sum())
             elif task == "mrfr":
-                pred_feat = np.asarray(out)
+                pred_feat = np.asarray(out)[:n_rows]
                 tgtf = np.asarray(batch["feat_targets"])
                 w = np.asarray(batch["mrm_valid"])[..., None]
                 loss_sum += float((np.square(pred_feat - tgtf) * w).sum()
                                   / pred_feat.shape[-1])
                 n_word += int(w.sum())
             elif task.startswith("mrc"):
-                logits = np.asarray(out)  # [B, Mr, L]
+                logits = np.asarray(out)[:n_rows]  # [B, Mr, L]
                 tgt = np.asarray(batch["label_targets"])
                 valid = np.asarray(batch["mrm_valid"]) > 0
                 # acc vs argmax of soft label, background excluded
@@ -170,7 +178,7 @@ def validate(model, params, val_loaders, pred_cache=None):
                 n_word += int(valid.sum())
             elif task.startswith("itm"):
                 scores, _ = out
-                scores = np.asarray(scores)
+                scores = np.asarray(scores)[:n_rows]
                 tgt = np.asarray(batch["targets"])
                 valid = tgt != -1
                 n_correct += int((scores.argmax(-1) == tgt)[valid].sum())

@@ -39,27 +39,33 @@ CONFIGS_R3 = [
     dict(name="xla_attn_blockfused", B=96, T=64, R=40,
          attention_impl="xla"),
 ]
+CONFIGS_R4 = [
+    # uniter-large: r2 optimum was B=96 k=8 (585 ex/s; k=16 neutral 586)
+    dict(name="large_B96_k8", B=96, T=64, R=40, k=8, large=True),
+    dict(name="large_B96_k32", B=96, T=64, R=40, k=32, large=True),
+]
 import os as _os
-CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3}.get(
+CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3, "4": CONFIGS_R4}.get(
     _os.environ.get("SWEEP_ROUND", "1"), CONFIGS_R1)
 
 
-def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas"):
+def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
+            large=False):
     import jax
     import jax.numpy as jnp
 
-    from uniter_tpu.config import base_config
+    from uniter_tpu.config import base_config, large_config
     from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
     from uniter_tpu.training.optim import build_optimizer
     from uniter_tpu.training.sched import get_lr_schedule
     from uniter_tpu.training.step import TrainState, make_train_step
 
     kw = dict(dtype="bfloat16", attention_impl=attention_impl,
-              scan_unroll=12, block_fusion="pallas")
+              scan_unroll=24 if large else 12, block_fusion="pallas")
     if dropout is not None:
         kw.update(hidden_dropout_prob=dropout,
                   attention_probs_dropout_prob=dropout)
-    cfg = base_config(**kw)
+    cfg = (large_config if large else base_config)(**kw)
     model = UniterForVisualQuestionAnswering(cfg, img_dim=2048)
     rng_np = np.random.RandomState(0)
     batch = dict(

@@ -21,10 +21,17 @@ mkdir -p "$OUT_DIR" "$ANN_DIR"
 
 URL='https://raw.githubusercontent.com/lil-lab/nlvr/master/nlvr2/data'
 BLOB='https://acvrpublicycchen.blob.core.windows.net/uniter'
-if [ ! -f "$ANN_DIR/missing_nlvr2_imgs.json" ]; then
-    wget "$BLOB/ann/missing_nlvr2_imgs.json" \
-        -O "$ANN_DIR/missing_nlvr2_imgs.json" \
-        || echo "warning: missing-imgs list unavailable; continuing without"
+# -s (not -f): a failed download must not leave an empty file that
+# suppresses the retry on the next (online) run
+if [ ! -s "$ANN_DIR/missing_nlvr2_imgs.json" ]; then
+    if wget -q "$BLOB/ann/missing_nlvr2_imgs.json" \
+            -O "$ANN_DIR/missing_nlvr2_imgs.json.tmp"; then
+        mv "$ANN_DIR/missing_nlvr2_imgs.json.tmp" \
+           "$ANN_DIR/missing_nlvr2_imgs.json"
+    else
+        rm -f "$ANN_DIR/missing_nlvr2_imgs.json.tmp"
+        echo "warning: missing-imgs list unavailable; continuing without"
+    fi
 fi
 
 MISSING=""
@@ -33,9 +40,10 @@ if [ -s "$ANN_DIR/missing_nlvr2_imgs.json" ]; then
 fi
 
 for SPLIT in train dev test1; do
-    if [ ! -f "$ANN_DIR/$SPLIT.json" ]; then
+    if [ ! -s "$ANN_DIR/$SPLIT.json" ]; then
         echo "downloading $SPLIT annotations..."
-        wget "$URL/$SPLIT.json" -O "$ANN_DIR/$SPLIT.json"
+        wget -q "$URL/$SPLIT.json" -O "$ANN_DIR/$SPLIT.json.tmp"
+        mv "$ANN_DIR/$SPLIT.json.tmp" "$ANN_DIR/$SPLIT.json"
     fi
     echo "preprocessing $SPLIT annotations..."
     python prepro.py --annotation "$ANN_DIR/$SPLIT.json" \

@@ -573,3 +573,84 @@ def test_two_process_chip_parallel_eval_matches_single(tmp_path):
     for qid in oracle:
         np.testing.assert_allclose(dist[qid], oracle[qid],
                                    rtol=1e-5, atol=1e-6, err_msg=qid)
+
+
+GLOBAL_PARAMS_EVAL_WORKER = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process, 4 global
+port, pid, repo = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, repo)
+import jax.numpy as jnp
+from uniter_tpu.config import tiny_config
+from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+from uniter_tpu.parallel.mesh import (
+    MeshConfig, make_mesh, param_sharding_full, replicate)
+from uniter_tpu.training.infer import (
+    eval_put, local_eval_mesh, local_eval_params)
+
+mesh_g = make_mesh(MeshConfig(data=-1))   # GLOBAL training mesh (4 devices)
+cfg = tiny_config()
+model = UniterForVisualQuestionAnswering(cfg, img_dim=64, num_answer=5)
+rng = np.random.RandomState(0)
+b, t, r = 6, 8, 4   # 6 rows: NOT divisible by the 2-device local mesh
+batch = dict(
+    input_ids=rng.randint(1, 100, (b, t)).astype(np.int32),
+    position_ids=np.broadcast_to(np.arange(t, dtype=np.int32),
+                                 (b, t)).copy(),
+    img_feat=rng.randn(b, r, 64).astype(np.float32),
+    img_pos_feat=rng.rand(b, r, 7).astype(np.float32),
+    attn_mask=np.ones((b, t + r), np.int32),
+)
+params = model.init({"params": jax.random.PRNGKey(0)},
+                    {k: jnp.asarray(v) for k, v in batch.items()},
+                    False)["params"]
+predict = jax.jit(lambda p, bt: model.apply({"params": p}, bt, False))
+
+lm = local_eval_mesh()
+assert lm.shape["data"] == 2, lm
+jb = eval_put(dict(batch), lm)
+oracle = np.asarray(predict(params, jb))[:b]
+
+# the in-training shape of the problem: params committed to the GLOBAL
+# mesh (replicated, and FSDP-sharded), eval batch on the LOCAL mesh
+gp = jax.device_put(params, replicate(mesh_g))
+psh = param_sharding_full(params, mesh_g,
+                          MeshConfig(fsdp=True, fsdp_min_size=16))
+sp = jax.device_put(params, psh)
+for name, cand in (("replicated", gp), ("fsdp", sp)):
+    lp = local_eval_params(cand)   # collective for fsdp — lockstep here
+    got = np.asarray(predict(lp, eval_put(dict(batch), lm)))[:b]
+    np.testing.assert_allclose(got, oracle, rtol=1e-6, atol=1e-6,
+                               err_msg=name)
+print("GLOBAL_EVAL_OK", pid, flush=True)
+"""
+
+
+def test_local_eval_params_two_process_global_and_fsdp(tmp_path):
+    """Regression for the global-mesh-params x local-mesh-batch mix: in a
+    2-process job, params committed to the global training mesh
+    (replicated AND ZeRO-3-sharded) pass through local_eval_params and
+    evaluate against local-mesh batches — including a batch row count the
+    local device count does not divide (zero-pad + trim)."""
+    worker = tmp_path / "gp_worker.py"
+    worker.write_text(GLOBAL_PARAMS_EVAL_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), port, str(pid), REPO],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"GLOBAL_EVAL_OK {pid}" in out, out

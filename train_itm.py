@@ -68,15 +68,18 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
     ranked among the window's scores).
 
     ``impl``: 'fast' scores device-resident tiles over every local chip
-    (utils/itm_fast.py) — for ItmValDataset the full matrix is computed and
-    each text's circular window is read out of it (identical per-pair
-    scores => identical recall); 'batched' keeps the per-text minibatch
-    loop with each minibatch sharded over local chips; 'auto' picks fast on
-    accelerators and batched on CPU."""
+    (utils/itm_fast.py) — ItmEvalDataset gets the full tiled matrix,
+    ItmValDataset gets windowed scoring (only each text's bs window
+    pairs, gathered on device — identical per-pair inputs => identical
+    recall); 'batched' keeps the per-text minibatch loop with each
+    minibatch sharded over local chips; 'auto' picks fast on accelerators
+    and batched on CPU."""
     from uniter_tpu.data.itm import ItmEvalDataset
     from uniter_tpu.parallel.collectives import all_gather_list
-    from uniter_tpu.training.infer import local_eval_mesh
-    from uniter_tpu.utils.itm_fast import fast_score_matrix
+    from uniter_tpu.training.infer import local_eval_mesh, local_eval_params
+    from uniter_tpu.utils.itm_fast import (
+        fast_score_matrix, fast_windowed_scores,
+    )
 
     if t_bucket is None or r_bucket is None:
         t_hint, r_hint = val_ds.bucket_hint()
@@ -84,19 +87,24 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
     if impl == "auto":
         impl = "batched" if jax.default_backend() == "cpu" else "fast"
     mesh = local_eval_mesh()
+    # in-training validation passes state.params (global training mesh);
+    # eval batches commit to the LOCAL mesh — make params process-local
+    # (collective on multi-process FSDP; validation is lockstep)
+    params = local_eval_params(params)
     full_matrix = isinstance(val_ds, ItmEvalDataset)
     shard = driver.shard_kw()
 
-    if impl == "fast":
-        mat, txt_ids = fast_score_matrix(
-            model, params, val_ds, t_bucket, r_bucket,
-            dtype=model.config.dtype, mesh=mesh, **shard)
-    elif full_matrix:
-        predict = jax.jit(
-            lambda p, b: model.apply({"params": p}, b, False))
-        mat, txt_ids = inference_score_matrix(
-            predict, val_ds, params, t_bucket, r_bucket, mesh=mesh, **shard)
     if full_matrix:
+        if impl == "fast":
+            mat, txt_ids = fast_score_matrix(
+                model, params, val_ds, t_bucket, r_bucket,
+                dtype=model.config.dtype, mesh=mesh, **shard)
+        else:
+            predict = jax.jit(
+                lambda p, b: model.apply({"params": p}, b, False))
+            mat, txt_ids = inference_score_matrix(
+                predict, val_ds, params, t_bucket, r_bucket, mesh=mesh,
+                **shard)
         mats = all_gather_list((mat, txt_ids))
         mat = np.concatenate([m for m, _ in mats if m.size])
         txt_ids = [t for _, ts in mats for t in ts]
@@ -104,15 +112,12 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
                         val_ds.img2txts)
 
     # windowed recall (ItmValDataset)
-    n_img = len(val_ds.all_img_ids)
     ranks = []
     if impl == "fast":
-        # window(i) is the circular range starting at the gt's position
-        # (data/itm.py _window), so its scores are a gather from the
-        # text's full score row
-        for row, t in zip(mat, txt_ids):
-            j = val_ds._img_pos[val_ds.txt2img[t]]
-            s = row[(j + np.arange(val_ds.bs)) % n_img]
+        rows, _ids = fast_windowed_scores(
+            model, params, val_ds, t_bucket, r_bucket,
+            dtype=model.config.dtype, mesh=mesh, **shard)
+        for s in rows:  # gt at window index 0
             ranks.append(int(np.argsort(-s).tolist().index(0)))
     else:
         predict = jax.jit(

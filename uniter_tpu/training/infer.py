@@ -74,18 +74,19 @@ def local_eval_mesh():
     return make_mesh(MeshConfig(data=-1), devices=jax.local_devices())
 
 
-def eval_put(batch: dict, mesh, strict: bool = False) -> dict:
+def eval_put(batch: dict, mesh, pad_values: Optional[dict] = None) -> dict:
     """device_put a host eval batch with the leading (batch) axis sharded
     over the mesh's data axis so every local chip computes a slice
     (reference: all inference runs multi-GPU; the rebuild previously
     computed eval on one chip per process).
 
-    Rows are zero-padded up to a data-axis multiple. Padding rows are
-    all-zero, so callers must either trim outputs to their real row count
-    (the inf_* loops index by qids/ex_weight) or pass ``strict=True`` to
-    assert divisibility instead — required when the caller reduces with
-    in-batch masks like ``tgt != -1`` that would mis-count zero rows.
-    Non-array values (qids and other host metadata) pass through."""
+    Rows are padded up to a data-axis multiple (any local device count
+    works, including ones that don't divide the bucket batch size).
+    Padding rows are zero by default; callers that reduce with in-batch
+    masks instead of trimming rows must pass ``pad_values`` for fields
+    whose "ignore" sentinel isn't 0 (e.g. ``{"mlm_tgt": -1}`` — a zero
+    pad would count as a real label). Non-array values (qids and other
+    host metadata) pass through."""
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -99,14 +100,53 @@ def eval_put(batch: dict, mesh, strict: bool = False) -> dict:
             continue
         pad = (-v.shape[0]) % n
         if pad:
-            assert not strict, (
-                f"eval batch axis {v.shape[0]} ({k}) not divisible by the "
-                f"{n}-device data axis — this caller relies on in-batch "
-                "masks and cannot tolerate zero padding rows")
+            fill = (pad_values or {}).get(k, 0)
             v = np.concatenate(
-                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                [v, np.full((pad,) + v.shape[1:], fill, v.dtype)])
         out[k] = jax.device_put(v, sh)
     return out
+
+
+def local_eval_params(params):
+    """Process-locally-addressable params for process-sharded eval.
+
+    In-training validation feeds ``state.params`` — committed to the
+    GLOBAL training mesh by place_state — into eval jits whose batches
+    eval_put commits to the process-LOCAL mesh; on a multi-process run
+    that mixes device sets inside one jit and raises. This returns host
+    arrays holding the FULL parameter values, which the eval jits then
+    place freely against the local batch sharding.
+
+    Single-process: returns params unchanged (the local mesh equals the
+    training mesh). Multi-process: FSDP-sharded leaves are first
+    replicated over the global mesh — a COLLECTIVE, so every process
+    must call this together (in-training validation is lockstep; the
+    reference's every-rank validation has the same property,
+    pretrain.py:390-544)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return params
+
+    leaves = [x for x in jax.tree.leaves(params)
+              if isinstance(x, jax.Array) and not x.is_fully_addressable]
+    if not leaves:
+        return params
+    if any(not x.sharding.is_fully_replicated for x in leaves):
+        mesh = leaves[0].sharding.mesh
+        rep = NamedSharding(mesh, P())
+        params = jax.jit(
+            lambda p: p,
+            out_shardings=jax.tree.map(lambda _: rep, params))(params)
+
+    def to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return x
+
+    return jax.tree.map(to_host, params)
 
 
 def load_params(path: str, template_params):

@@ -142,3 +142,90 @@ def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
                 d_imask[ij:ij + ci]))
     mat = out[:n_txt, :n_img]
     return mat, [eval_ds.ids[i] for i in my_rows]
+
+
+def fast_windowed_scores(model, params, val_ds, t_bucket, r_bucket, *,
+                         txt_chunk: int = 8, dtype="bfloat16", mesh=None,
+                         shard_index: int = 0, shard_count: int = 1):
+    """[n_txt_shard, bs] window score rows (gt at column 0) + shard txt
+    ids — the device-resident form of ItmValDataset's windowed validation
+    (data/itm.py _window; reference train_itm_hard_negatives.py:268-310).
+
+    Unlike scoring the full matrix and reading windows out of it, this
+    computes ONLY each text's bs window pairs (n_img/bs times less work —
+    ~12.5x on the COCO HN config): image arrays live on device once and
+    each jitted call gathers ``txt_chunk`` texts' circular windows from
+    them by index, scoring txt_chunk x bs pairs. With a ``mesh``, the
+    text-chunk axis shards over the local chips."""
+    import jax
+    import jax.numpy as jnp
+
+    n_dev = mesh.shape["data"] if mesh is not None else 1
+    txt_chunk = max(txt_chunk, n_dev)
+    txt_chunk += (-txt_chunk) % n_dev
+
+    txt_ids, txt_len, img_feat, img_pos, img_nbb = build_eval_arrays(
+        val_ds, t_bucket, r_bucket)
+    my_rows = np.arange(shard_index, len(txt_ids), shard_count)
+    n_txt, n_img, bs = len(my_rows), img_feat.shape[0], val_ds.bs
+    if n_txt == 0:
+        return np.zeros((0, bs), np.float32), []
+    # circular window positions per text (gt first — data/itm.py _window)
+    js = np.asarray([val_ds._img_pos[val_ds.txt2img[val_ds.ids[i]]]
+                     for i in my_rows])
+    win = (js[:, None] + np.arange(bs)[None, :]) % n_img  # [n_txt, bs]
+
+    def pad_rows(a, mult):
+        pad = (-a.shape[0]) % mult
+        return np.concatenate([a, np.repeat(a[:1], pad, 0)]) if pad else a
+
+    t_sel = pad_rows(txt_ids[my_rows], txt_chunk)
+    tlen_sel = pad_rows(txt_len[my_rows], txt_chunk)
+    win_p = pad_rows(win, txt_chunk).astype(np.int32)
+
+    cdt = jnp.dtype(dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        txt_sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+    else:
+        txt_sh = rep = None
+
+    def put(a, sh):
+        return jax.device_put(a, sh) if sh is not None else jax.device_put(a)
+
+    d_txt = put(jnp.asarray(t_sel), txt_sh)
+    d_tmask = put(
+        (np.arange(t_bucket)[None] < tlen_sel[:, None]).astype(np.int32),
+        txt_sh)
+    d_win = put(win_p, txt_sh)
+    d_feat = put(jnp.asarray(img_feat, cdt), rep)
+    d_pos = put(jnp.asarray(img_pos, cdt), rep)
+    d_imask = put(
+        (np.arange(r_bucket)[None] < img_nbb[:, None]).astype(np.int32),
+        rep)
+
+    ct = txt_chunk
+
+    def chunk_fn(p, t_ids, t_mask, w_idx, feat_all, pos_all, imask_all):
+        idx = w_idx.reshape(-1)  # [ct*bs]
+        batch = dict(
+            input_ids=jnp.repeat(t_ids, bs, axis=0),
+            position_ids=jnp.broadcast_to(
+                jnp.arange(t_bucket, dtype=jnp.int32), (ct * bs, t_bucket)),
+            img_feat=feat_all[idx],
+            img_pos_feat=pos_all[idx],
+            attn_mask=jnp.concatenate(
+                [jnp.repeat(t_mask, bs, axis=0), imask_all[idx]], axis=1),
+        )
+        scores = model.apply({"params": p}, batch, False)  # [ct*bs, 1]
+        return scores[:, 0].reshape(ct, bs)
+
+    chunk_jit = jax.jit(chunk_fn)
+    out = np.zeros((t_sel.shape[0], bs), np.float32)
+    for ci in range(0, t_sel.shape[0], ct):
+        out[ci:ci + ct] = np.asarray(chunk_jit(
+            params, d_txt[ci:ci + ct], d_tmask[ci:ci + ct],
+            d_win[ci:ci + ct], d_feat, d_pos, d_imask))
+    return out[:n_txt], [val_ds.ids[i] for i in my_rows]
