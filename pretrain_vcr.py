@@ -118,7 +118,7 @@ def main(opts):
     sched = get_lr_schedule(opts.learning_rate, opts.warmup_steps,
                             opts.num_train_steps)
     tx = build_optimizer(params, sched, **driver.optim_kwargs(opts))
-    state = place_state(TrainState.create(params, tx), mesh,
+    state = place_state(driver.make_train_state(params, tx, opts), mesh,
                         fsdp=getattr(opts, "fsdp", False),
                         fsdp_min_size=getattr(opts, "fsdp_min_size", 2 ** 16))
     saver = TrainStateSaver(opts.output_dir)

@@ -44,13 +44,19 @@ CONFIGS_R4 = [
     dict(name="large_B96_k8", B=96, T=64, R=40, k=8, large=True),
     dict(name="large_B96_k32", B=96, T=64, R=40, k=32, large=True),
 ]
+CONFIGS_R5 = [
+    # bf16 param storage + fp32 master (--param_dtype bfloat16)
+    dict(name="parambf16_B96_k32", B=96, T=64, R=40, k=32, param_bf16=True),
+    dict(name="fp32param_B96_k32_rep", B=96, T=64, R=40, k=32),
+]
 import os as _os
-CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3, "4": CONFIGS_R4}.get(
-    _os.environ.get("SWEEP_ROUND", "1"), CONFIGS_R1)
+CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3, "4": CONFIGS_R4,
+           "5": CONFIGS_R5}.get(_os.environ.get("SWEEP_ROUND", "1"),
+                                CONFIGS_R1)
 
 
 def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
-            large=False):
+            large=False, param_bf16=False):
     import jax
     import jax.numpy as jnp
 
@@ -80,8 +86,14 @@ def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
         "params"]
     tx = build_optimizer(params, get_lr_schedule(8e-5, 600, 6000),
                          grad_norm=2.0, weight_decay=0.01, fused=True,
-                         mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16)
+                         mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16,
+                         master=param_bf16)
     state = TrainState.create(params, tx)
+    if param_bf16:  # storage cast AFTER init (masters stay exact fp32)
+        state = state.replace(params=jax.tree.map(
+            lambda p: (p.astype(jnp.bfloat16)
+                       if p.size >= 2 ** 16 and p.dtype == jnp.float32
+                       else p), state.params))
 
     def loss_fn(p, b, r):
         per_elem = model.apply({"params": p}, b, True, deterministic=False,

@@ -147,6 +147,42 @@ def test_train_vqa_fsdp_e2e_and_resume(env):
     assert int(state.step) == 4
 
 
+def test_train_vqa_param_dtype_bf16_e2e_and_resume(env):
+    """--param_dtype bfloat16: bf16 param storage with fp32 masters in the
+    fused optimizer, through the real driver including Orbax resume of the
+    master-carrying state."""
+    import jax
+    import jax.numpy as jnp
+    import train_vqa
+    from uniter_tpu.utils.misc import parse_with_config
+
+    out = env["root"] + "/vqa_bf16_out"
+    argv = [
+        "--train_txt_db", env["txt"], "--train_img_db", env["img"],
+        "--val_txt_db", env["txt"], "--val_img_db", env["img"],
+        "--model_config", env["cfg"], "--output_dir", out,
+        "--num_answer", "7",
+        "--train_batch_size", "256", "--val_batch_size", "256",
+        "--num_train_steps", "2", "--valid_steps", "100",
+        "--warmup_steps", "1", "--max_bb", "10", "--min_bb", "3",
+        "--dtype", "float32", "--seed", "6",
+        "--param_dtype", "bfloat16", "--fused_adamw", "1",
+    ]
+    opts = parse_with_config(train_vqa.get_parser(), argv)
+    state = train_vqa.main(opts)
+    assert int(state.step) == 2
+    # large leaves stored bf16, small (LN/bias) fp32, masters fp32
+    dtypes = {str(leaf.dtype) for leaf in jax.tree.leaves(state.params)}
+    assert dtypes == {"bfloat16", "float32"}, dtypes
+    masters = jax.tree.leaves(state.opt_state.master)
+    assert masters and all(m.dtype == jnp.float32 for m in masters)
+
+    argv[argv.index("--num_train_steps") + 1] = "4"
+    opts = parse_with_config(train_vqa.get_parser(), argv)
+    state = train_vqa.main(opts)  # restores the master-carrying state
+    assert int(state.step) == 4
+
+
 def test_train_vqa_wire_codec_int8_e2e(env):
     """--wire_codec int8 drives the full training loop (quantized wire,
     on-device dequant) to completion."""

@@ -404,6 +404,47 @@ def test_fused_adamw_bf16_moments_track_fp32():
                                rtol=2e-2, atol=2e-5)
 
 
+def test_fused_adamw_master_mode_tracks_fp32_exactly():
+    """bf16 param storage + fp32 master (--param_dtype bfloat16): with
+    identical grads the MASTER trajectory is bit-identical to the fp32
+    fused run (the update math never reads the bf16 copies), and the bf16
+    params are exactly the master's bf16 cast after every step."""
+    from uniter_tpu.training.step import TrainState
+
+    rng = np.random.RandomState(7)
+    base = {"w": jnp.asarray(rng.randn(64, 64), jnp.float32),
+            "b": jnp.asarray(rng.randn(64), jnp.float32)}
+    p32 = dict(base)
+    kw = dict(betas=(0.9, 0.98), weight_decay=0.01, grad_norm=2.0)
+    tx32 = build_optimizer(p32, 1e-3, fused=True, **kw)
+    txm = build_optimizer(base, 1e-3, fused=True, master=True, **kw)
+    s32 = TrainState.create(p32, tx32)
+    # the driver flow (make_train_state): init from fp32 (exact masters),
+    # THEN cast the stored params down; 'b' is small and stays fp32
+    sm = TrainState.create(dict(base), txm)
+    sm = sm.replace(params={"w": base["w"].astype(jnp.bfloat16),
+                            "b": base["b"]})
+    assert sm.opt_state.master["w"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(sm.opt_state.master["w"]),
+                                  np.asarray(base["w"]))
+    for _ in range(5):
+        g = {"w": jnp.asarray(rng.randn(64, 64), jnp.float32),
+             "b": jnp.asarray(rng.randn(64), jnp.float32)}
+        s32 = s32.apply_gradients(g)
+        sm = sm.apply_gradients(g)
+        # master == fp32 params, exactly
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(sm.opt_state.master[k]),
+                np.asarray(s32.params[k]), err_msg=k)
+        # stored params are the master's cast
+        assert sm.params["w"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(sm.params["w"]),
+            np.asarray(sm.opt_state.master["w"].astype(jnp.bfloat16)))
+        assert sm.params["b"].dtype == jnp.float32
+
+
 def test_sigterm_preemption_saves_and_resumes(tmp_path):
     """SIGTERM mid-run (the TPU spot/maintenance reclaim signal) -> the loop
     stops at the next step boundary with a resumable checkpoint, restores

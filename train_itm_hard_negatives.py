@@ -107,7 +107,7 @@ def main(opts):
         **driver.optim_kwargs(opts))
     from uniter_tpu.training.loop import place_state
 
-    state = place_state(TrainState.create(params, tx), mesh,
+    state = place_state(driver.make_train_state(params, tx, opts), mesh,
                         fsdp=getattr(opts, "fsdp", False),
                         fsdp_min_size=getattr(opts, "fsdp_min_size", 2 ** 16))
     saver = TrainStateSaver(opts.output_dir)

@@ -61,6 +61,14 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="storage dtype for BOTH Adam moments (bfloat16 "
                              "halves optimizer HBM traffic; fp32 arithmetic "
                              "either way; requires --fused_adamw)")
+    parser.add_argument("--param_dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype for LARGE params (embeddings + "
+                             "GEMM kernels; LN vectors/biases stay fp32). "
+                             "bfloat16 keeps fp32 master weights in the "
+                             "fused optimizer (apex-O2 scheme) — halves "
+                             "fwd/bwd param reads and gradient traffic; "
+                             "requires --fused_adamw")
     parser.add_argument("--wire_codec", default="cast",
                         choices=["cast", "int8"],
                         help="host->device format for img_feat: 'cast' "
@@ -119,10 +127,37 @@ def optim_kwargs(opts) -> dict:
         # the optax chain only supports mu_dtype; both-moment storage needs
         # the fused kernel — fail loudly rather than train something else
         raise ValueError("--moment_dtype bfloat16 requires --fused_adamw 1")
+    master = getattr(opts, "param_dtype", "float32") == "bfloat16"
+    if master and not fused:
+        raise ValueError("--param_dtype bfloat16 requires --fused_adamw 1")
     return dict(
         betas=tuple(opts.betas), weight_decay=opts.weight_decay,
         grad_norm=opts.grad_norm, optim=opts.optim, fused=fused,
-        mu_dtype=md, nu_dtype=md)
+        mu_dtype=md, nu_dtype=md, master=master)
+
+
+def maybe_cast_param_storage(params, opts, min_size: int = 2 ** 16):
+    """--param_dtype bfloat16: cast LARGE param leaves to bf16 storage.
+    Small leaves — LN weights/biases, biases — stay fp32, mirroring apex
+    O2's fp32-LN policy (the reference's training numerics)."""
+    if getattr(opts, "param_dtype", "float32") != "bfloat16":
+        return params
+    return jax.tree.map(
+        lambda p: (p.astype(jnp.bfloat16)
+                   if p.size >= min_size and p.dtype == jnp.float32
+                   else p),
+        params)
+
+
+def make_train_state(params, tx, opts):
+    """TrainState with the optional bf16 param-storage policy: the
+    optimizer inits from the ORIGINAL fp32 params (so its fp32 masters
+    are exact, not round-tripped through bf16), then the stored params
+    cast down."""
+    from uniter_tpu.training.step import TrainState
+
+    state = TrainState.create(params, tx)
+    return state.replace(params=maybe_cast_param_storage(state.params, opts))
 
 
 def make_init_batch(b=8, t=16, r=8, img_dim=None, **extras):
@@ -331,7 +366,7 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         params, sched,
         lr_mul=getattr(opts, "lr_mul", 1.0), lr_mul_paths=lr_mul_paths,
         **optim_kwargs(opts))
-    state = place_state(TrainState.create(params, tx), mesh,
+    state = place_state(make_train_state(params, tx, opts), mesh,
                         fsdp=getattr(opts, "fsdp", False),
                         fsdp_min_size=getattr(opts, "fsdp_min_size", 2 ** 16))
     saver = TrainStateSaver(opts.output_dir)

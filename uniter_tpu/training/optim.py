@@ -58,12 +58,16 @@ class FusedAdamWState(NamedTuple):
 
     ``gnorm`` is the pre-clip global gradient norm of the *last* update —
     drivers log it without a second full pass over the gradients.
+    ``master`` holds fp32 master weights for params stored in a lower
+    dtype (``master=True`` mode — bf16 param storage); ``None`` leaves for
+    params that are already fp32.
     """
 
     count: jax.Array
     mu: Any
     nu: Any
     gnorm: jax.Array
+    master: Any = None
 
 
 def fused_adamw(
@@ -79,6 +83,7 @@ def fused_adamw(
     lr_mul_tree=None,
     mu_dtype=None,
     nu_dtype=None,
+    master: bool = False,
 ) -> optax.GradientTransformation:
     """One-pass AdamW: clip + moments + bias correction + decoupled decay +
     schedule + head-lr multipliers computed in a single per-leaf kernel.
@@ -91,7 +96,14 @@ def fused_adamw(
     stores the moments in bfloat16 (`mu_dtype`/`nu_dtype`) to cut the traffic
     further; moment *arithmetic* is always fp32 (the EMA update is computed
     in fp32 and rounded once on store).
-    """
+
+    ``master=True`` enables low-precision param storage: the optimizer
+    keeps an fp32 master copy of every param in its state, updates the
+    master in fp32, and ``TrainState.apply_gradients`` re-casts the master
+    into each param's storage dtype after every step (the apex-O2 /
+    DeepSpeed bf16 scheme — params may live in bf16 without the update
+    math losing precision; grads arrive in the param dtype, halving the
+    optimizer's gradient reads)."""
     lr_fn = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
 
     def init(params):
@@ -103,12 +115,22 @@ def fused_adamw(
             mu=jax.tree.map(zeros_like(mu_dtype), params),
             nu=jax.tree.map(zeros_like(nu_dtype), params),
             gnorm=jnp.zeros((), jnp.float32),
+            # copy=True: fp32 leaves must NOT alias their master (the jit
+            # train step donates the whole state; an aliased buffer would
+            # be donated twice)
+            master=(jax.tree.map(
+                lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+                params) if master else None),
         )
 
     def update(grads, state, params=None):
         if params is None:
             raise ValueError("fused_adamw requires params")
-        gnorm = optax.global_norm(grads)
+        # fp32 accumulation regardless of grad dtype (bf16 grads in master
+        # mode: squaring/summing in bf16 would make the clip norm noisy)
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree.leaves(grads)))
         if grad_norm and grad_norm > 0:
             # optax.clip_by_global_norm: g * clip / max(norm, clip)
             clip = jnp.minimum(
@@ -130,7 +152,12 @@ def fused_adamw(
             if decay:
                 u = u + weight_decay * p.astype(jnp.float32)
             step = (-lr * mul) * u
-            return step.astype(p.dtype), mu32.astype(mu.dtype), nu32.astype(nu.dtype)
+            if master:
+                # p IS the fp32 master here; the caller recasts to the
+                # storage dtype (TrainState.apply_gradients)
+                return p + step, mu32.astype(mu.dtype), nu32.astype(nu.dtype)
+            return (step.astype(p.dtype), mu32.astype(mu.dtype),
+                    nu32.astype(nu.dtype))
 
         decay_leaves = (decay_mask_tree if decay_mask_tree is not None
                         else jax.tree.map(lambda _: True, grads))
@@ -138,14 +165,23 @@ def fused_adamw(
             lambda m: lr_mul if m else 1.0,
             lr_mul_tree if lr_mul_tree is not None
             else jax.tree.map(lambda _: False, grads))
-        out = jax.tree.map(leaf, grads, state.mu, state.nu, params,
+        p_in = state.master if master else params
+        out = jax.tree.map(leaf, grads, state.mu, state.nu, p_in,
                            decay_leaves, mul_leaves)
         treedef = jax.tree.structure(grads)
         flat = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
-        updates = jax.tree.unflatten(treedef, [t[0] for t in flat])
+        first = jax.tree.unflatten(treedef, [t[0] for t in flat])
         mu = jax.tree.unflatten(treedef, [t[1] for t in flat])
         nu = jax.tree.unflatten(treedef, [t[2] for t in flat])
-        return updates, FusedAdamWState(count=count, mu=mu, nu=nu, gnorm=gnorm)
+        if master:
+            # updates slot carries ZEROS (structure-compat, DCE'd by the
+            # caller's master fast path); the new master rides the state
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, p.dtype), params)
+            return zeros, FusedAdamWState(count=count, mu=mu, nu=nu,
+                                          gnorm=gnorm, master=first)
+        return first, FusedAdamWState(count=count, mu=mu, nu=nu,
+                                      gnorm=gnorm, master=None)
 
     return optax.GradientTransformation(init, update)
 
@@ -164,6 +200,7 @@ def build_optimizer(
     mu_dtype=None,
     nu_dtype=None,
     fused: bool = False,
+    master: bool = False,
 ) -> optax.GradientTransformation:
     """Mirror of reference build_optimizer + driver-side clip/lr logic.
 
@@ -172,6 +209,9 @@ def build_optimizer(
     on TPU). ``fused=True`` uses :func:`fused_adamw` — one fused per-leaf
     kernel, leaf-exact vs the optax chain at fp32 moments.
     """
+    if master and not (fused and optim == "adamw"):
+        raise ValueError("master-weight mode (--param_dtype bfloat16) "
+                         "requires the fused adamw optimizer")
     if fused and optim == "adamw":
         return fused_adamw(
             learning_rate, b1=betas[0], b2=betas[1], eps=eps,
@@ -179,7 +219,7 @@ def build_optimizer(
             grad_norm=grad_norm or 0.0, lr_mul=lr_mul,
             lr_mul_tree=(head_mask(params, lr_mul_paths)
                          if lr_mul != 1.0 and lr_mul_paths else None),
-            mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+            mu_dtype=mu_dtype, nu_dtype=nu_dtype, master=master,
         )
     if optim == "adamw":
         core = optax.adamw(

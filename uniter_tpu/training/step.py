@@ -47,9 +47,17 @@ class TrainState(struct.PyTreeNode):
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        if getattr(new_opt, "master", None) is not None:
+            # master-weight mode (bf16 param storage): the new params are
+            # the fp32 masters re-cast to each leaf's storage dtype; the
+            # updates slot is zeros and gets DCE'd
+            params = jax.tree.map(lambda m, p: m.astype(p.dtype),
+                                  new_opt.master, self.params)
+        else:
+            params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=params,
             opt_state=new_opt,
         )
 
