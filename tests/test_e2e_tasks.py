@@ -182,6 +182,18 @@ def test_train_vqa_param_dtype_bf16_e2e_and_resume(env):
     state = train_vqa.main(opts)  # restores the master-carrying state
     assert int(state.step) == 4
 
+    # weights-only export ships the fp32 MASTERS — inference loads them
+    # into its fp32 template
+    import inf_vqa
+
+    iargv = inf_vqa.get_parser().parse_args([
+        "--txt_db", env["txt"], "--img_db", env["img"],
+        "--train_dir", out, "--output_dir", env["root"] + "/vqa_bf16_inf",
+        "--batch_size", "256",
+    ])
+    res = inf_vqa.main(iargv)
+    assert len(json.load(open(res))) == 24
+
 
 def test_train_vqa_wire_codec_int8_e2e(env):
     """--wire_codec int8 drives the full training loop (quantized wire,

@@ -91,7 +91,14 @@ class TrainStateSaver:
             return np.asarray(
                 multihost_utils.process_allgather(x, tiled=True))
 
-        host_params = jax.tree.map(to_host, state.params)
+        # --param_dtype bfloat16 stores params bf16 with fp32 masters in
+        # the optimizer state; the weights-only export ships the masters
+        # (full precision — the inference surface expects fp32 weights)
+        export_params = state.params
+        master = getattr(state.opt_state, "master", None)
+        if master is not None:
+            export_params = master
+        host_params = jax.tree.map(to_host, export_params)
         path = os.path.join(self.dir, f"model_step_{step}.msgpack")
         if jax.process_index() != 0:
             # every host joined the gather above (collective); only one
