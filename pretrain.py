@@ -118,9 +118,10 @@ def validate(model, params, val_loaders, pred_cache=None):
     jitted predictors across validation rounds (a fresh lambda per call
     would recompile every time). Batches shard over every local chip
     (reference: all ranks validate, pretrain.py:390-544); the reductions
-    below use in-batch masks, so mask-bearing fields pad with their
-    ignore sentinel; params are made process-local first (state.params
-    live on the GLOBAL training mesh — collective, lockstep)."""
+    below use in-batch masks over readbacks TRIMMED to the host row count
+    (eval_put's zero pad rows are never seen); params are made
+    process-local once per round (state.params live on the GLOBAL
+    training mesh — collective, lockstep)."""
     import time
 
     from uniter_tpu.training.infer import (
@@ -128,7 +129,7 @@ def validate(model, params, val_loaders, pred_cache=None):
     )
 
     mesh = local_eval_mesh()
-    params = local_eval_params(params)
+    params = local_eval_params(params, mesh)
     logs = {}
     pred_cache = {} if pred_cache is None else pred_cache
     for name, loader in val_loaders.items():

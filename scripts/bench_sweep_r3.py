@@ -89,11 +89,14 @@ def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
                          mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16,
                          master=param_bf16)
     state = TrainState.create(params, tx)
-    if param_bf16:  # storage cast AFTER init (masters stay exact fp32)
-        state = state.replace(params=jax.tree.map(
-            lambda p: (p.astype(jnp.bfloat16)
-                       if p.size >= 2 ** 16 and p.dtype == jnp.float32
-                       else p), state.params))
+    if param_bf16:  # storage cast AFTER init (masters stay exact fp32);
+        # same policy object as --param_dtype bfloat16
+        from types import SimpleNamespace
+
+        from uniter_tpu.training.driver import maybe_cast_param_storage
+
+        state = state.replace(params=maybe_cast_param_storage(
+            state.params, SimpleNamespace(param_dtype="bfloat16")))
 
     def loss_fn(p, b, r):
         per_elem = model.apply({"params": p}, b, True, deterministic=False,

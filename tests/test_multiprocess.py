@@ -599,7 +599,8 @@ mesh_g = make_mesh(MeshConfig(data=-1))   # GLOBAL training mesh (4 devices)
 cfg = tiny_config()
 model = UniterForVisualQuestionAnswering(cfg, img_dim=64, num_answer=5)
 rng = np.random.RandomState(0)
-b, t, r = 6, 8, 4   # 6 rows: NOT divisible by the 2-device local mesh
+b, t, r = 5, 8, 4   # 5 rows: NOT divisible by the 2-device local mesh
+                    # (exercises eval_put's zero-pad + [:b] trim)
 batch = dict(
     input_ids=rng.randint(1, 100, (b, t)).astype(np.int32),
     position_ids=np.broadcast_to(np.arange(t, dtype=np.int32),

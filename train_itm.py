@@ -90,7 +90,7 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
     # in-training validation passes state.params (global training mesh);
     # eval batches commit to the LOCAL mesh — make params process-local
     # (collective on multi-process FSDP; validation is lockstep)
-    params = local_eval_params(params)
+    params = local_eval_params(params, mesh)
     full_matrix = isinstance(val_ds, ItmEvalDataset)
     shard = driver.shard_kw()
 

@@ -19,7 +19,6 @@ from uniter_tpu.data.txt_db import TxtTokDb
 from uniter_tpu.models import checkpoint as ckpt_lib
 from uniter_tpu.models.nlvr2 import MODEL_REGISTRY
 from uniter_tpu.training import driver
-from uniter_tpu.training.loop import jnp_batch
 from uniter_tpu.utils.const import IMG_DIM
 from uniter_tpu.utils.logger import LOGGER
 from uniter_tpu.utils.misc import parse_with_config
@@ -72,12 +71,16 @@ def build_model_and_params(opts, rng):
 
 
 def validate(model, params, loader, paired: bool):
+    """Batches shard over the local chips; params are made process-local
+    once (infer.eval_batches); outputs trim to the targets length (the
+    paired model emits one score row per PAIR)."""
+    from uniter_tpu.training.infer import eval_batches
+
     n_correct, n_ex, loss_sum = 0, 0, 0.0
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
-    for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
-        scores = np.asarray(predict(params, jb))
+    for batch, out in eval_batches(predict, params, loader):
         targets = np.asarray(batch["targets"])
+        scores = np.asarray(out)[:len(targets)]
         w = np.asarray(batch["ex_weight"])
         if paired:
             w = w[: len(targets)]

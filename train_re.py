@@ -18,7 +18,6 @@ from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.re import ReDataset, ReEvalDataset, ReTxtTokDb, compute_iou
 from uniter_tpu.models.re import UniterForReferringExpressionComprehension
 from uniter_tpu.training import driver
-from uniter_tpu.training.loop import jnp_batch
 from uniter_tpu.utils.const import IMG_DIM
 from uniter_tpu.utils.logger import LOGGER
 from uniter_tpu.utils.misc import parse_with_config
@@ -40,12 +39,16 @@ def build_model_and_params(opts, rng):
 
 
 def evaluate(model, params, loader):
-    """IoU>0.5 accuracy over gt or det boxes (reference inf_re.py:118-157)."""
+    """IoU>0.5 accuracy over gt or det boxes (reference inf_re.py:118-157).
+    Batches shard over the local chips; params made process-local once
+    (infer.eval_batches); w indexes only host rows, so padded output rows
+    are never read."""
+    from uniter_tpu.training.infer import eval_batches
+
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     n_correct, n_ex = 0, 0
-    for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
-        scores = np.asarray(predict(params, jb))
+    for batch, out in eval_batches(predict, params, loader):
+        scores = np.asarray(out)
         w = np.asarray(batch["ex_weight"]) > 0
         preds = scores.argmax(-1)
         for i in np.nonzero(w)[0]:

@@ -22,7 +22,6 @@ from uniter_tpu.models.vcr import (
     NUM_SPECIAL_TOKENS, UniterForVisualCommonsenseReasoning,
 )
 from uniter_tpu.training import driver
-from uniter_tpu.training.loop import jnp_batch
 from uniter_tpu.utils.const import IMG_DIM
 from uniter_tpu.utils.logger import LOGGER
 from uniter_tpu.utils.misc import parse_with_config
@@ -60,12 +59,16 @@ def build_train_datasets(opts):
 
 
 def validate(model, params, loader):
-    """qa / qar / joint accuracy (reference inf_vcr / train_vcr validate)."""
+    """qa / qar / joint accuracy (reference inf_vcr / train_vcr validate).
+    Batches shard over the local chips; params made process-local once
+    (infer.eval_batches); the n_rows offsets only walk host rows, so
+    padded output rows are never read."""
+    from uniter_tpu.training.infer import eval_batches
+
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     n_qa, n_qar, n_ex = 0, 0, 0
-    for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
-        scores = np.asarray(predict(params, jb))[:, 0]
+    for batch, out in eval_batches(predict, params, loader):
+        scores = np.asarray(out)[:, 0]
         off = 0
         for i, n_rows in enumerate(batch["n_rows"]):
             qa_scores = scores[off:off + 4]

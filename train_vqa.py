@@ -17,7 +17,6 @@ from uniter_tpu.data.txt_db import TxtTokDb
 from uniter_tpu.data.vqa import VqaDataset
 from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
 from uniter_tpu.training import driver
-from uniter_tpu.training.loop import jnp_batch
 from uniter_tpu.utils.const import IMG_DIM
 from uniter_tpu.utils.logger import LOGGER
 from uniter_tpu.utils.misc import parse_with_config
@@ -35,13 +34,16 @@ def build_model_and_params(opts, rng):
 
 
 def validate(model, params, loader, num_answer):
-    """VQA soft-score accuracy (reference train_vqa.py:312-341)."""
+    """VQA soft-score accuracy (reference train_vqa.py:312-341). Batches
+    shard over the local chips; params are made process-local once
+    (infer.eval_batches)."""
+    from uniter_tpu.training.infer import eval_batches
+
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     score_sum, n_ex, loss_sum = 0.0, 0, 0.0
-    for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in jnp_batch(batch).items()}
-        logits = np.asarray(predict(params, jb))
+    for batch, out in eval_batches(predict, params, loader):
         targets = np.asarray(batch["targets"])
+        logits = np.asarray(out)[:len(targets)]
         w = np.asarray(batch["ex_weight"]) > 0
         preds = logits.argmax(-1)
         score_sum += float(targets[np.arange(len(preds)), preds][w].sum())

@@ -74,18 +74,17 @@ def local_eval_mesh():
     return make_mesh(MeshConfig(data=-1), devices=jax.local_devices())
 
 
-def eval_put(batch: dict, mesh, pad_values: Optional[dict] = None) -> dict:
+def eval_put(batch: dict, mesh) -> dict:
     """device_put a host eval batch with the leading (batch) axis sharded
     over the mesh's data axis so every local chip computes a slice
     (reference: all inference runs multi-GPU; the rebuild previously
     computed eval on one chip per process).
 
-    Rows are padded up to a data-axis multiple (any local device count
-    works, including ones that don't divide the bucket batch size).
-    Padding rows are zero by default; callers that reduce with in-batch
-    masks instead of trimming rows must pass ``pad_values`` for fields
-    whose "ignore" sentinel isn't 0 (e.g. ``{"mlm_tgt": -1}`` — a zero
-    pad would count as a real label). Non-array values (qids and other
+    Rows are ZERO-padded up to a data-axis multiple (any local device
+    count works, including ones that don't divide the bucket batch
+    size) — callers must trim device outputs to their real row count
+    before reducing (the contract every caller here follows: qids /
+    targets length / host-row count). Non-array values (qids and other
     host metadata) pass through."""
     import jax
     import numpy as np
@@ -100,22 +99,22 @@ def eval_put(batch: dict, mesh, pad_values: Optional[dict] = None) -> dict:
             continue
         pad = (-v.shape[0]) % n
         if pad:
-            fill = (pad_values or {}).get(k, 0)
             v = np.concatenate(
-                [v, np.full((pad,) + v.shape[1:], fill, v.dtype)])
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
         out[k] = jax.device_put(v, sh)
     return out
 
 
-def local_eval_params(params):
+def local_eval_params(params, mesh=None):
     """Process-locally-addressable params for process-sharded eval.
 
     In-training validation feeds ``state.params`` — committed to the
     GLOBAL training mesh by place_state — into eval jits whose batches
     eval_put commits to the process-LOCAL mesh; on a multi-process run
-    that mixes device sets inside one jit and raises. This returns host
-    arrays holding the FULL parameter values, which the eval jits then
-    place freely against the local batch sharding.
+    that mixes device sets inside one jit and raises. This gathers the
+    FULL parameter values and (with ``mesh``) commits them ONCE to the
+    local mesh replicated, so the per-batch eval jits neither re-upload
+    the tree per call nor see mixed device sets.
 
     Single-process: returns params unchanged (the local mesh equals the
     training mesh). Multi-process: FSDP-sharded leaves are first
@@ -135,8 +134,8 @@ def local_eval_params(params):
     if not leaves:
         return params
     if any(not x.sharding.is_fully_replicated for x in leaves):
-        mesh = leaves[0].sharding.mesh
-        rep = NamedSharding(mesh, P())
+        gmesh = leaves[0].sharding.mesh
+        rep = NamedSharding(gmesh, P())
         params = jax.jit(
             lambda p: p,
             out_shardings=jax.tree.map(lambda _: rep, params))(params)
@@ -146,7 +145,28 @@ def local_eval_params(params):
             return np.asarray(x.addressable_data(0))
         return x
 
-    return jax.tree.map(to_host, params)
+    params = jax.tree.map(to_host, params)
+    if mesh is not None:
+        lrep = NamedSharding(mesh, P())
+        params = jax.tree.map(lambda x: jax.device_put(x, lrep), params)
+    return params
+
+
+def eval_batches(predict_fn, params, loader):
+    """Drive a jitted predict over an eval loader with the standard
+    two-level sharding: params made process-local once (local_eval_params
+    on the local mesh), each batch's rows spread over the local chips
+    (eval_put). Yields ``(host_batch, device_outputs)`` — callers trim
+    outputs to their real row count (targets/qids length) before
+    reducing, since eval_put may append zero rows for divisibility."""
+    import numpy as np
+
+    mesh = local_eval_mesh()
+    params = local_eval_params(params, mesh)
+    for batch in loader:
+        jb = eval_put({k: v for k, v in batch.items()
+                       if isinstance(v, np.ndarray)}, mesh)
+        yield batch, predict_fn(params, jb)
 
 
 def load_params(path: str, template_params):
