@@ -152,21 +152,33 @@ def local_eval_params(params, mesh=None):
     return params
 
 
-def eval_batches(predict_fn, params, loader):
+def eval_batches(predict_fn, params, loader, prefetch: int = 2):
     """Drive a jitted predict over an eval loader with the standard
     two-level sharding: params made process-local once (local_eval_params
     on the local mesh), each batch's rows spread over the local chips
-    (eval_put). Yields ``(host_batch, device_outputs)`` — callers trim
+    (eval_put), and the NEXT batch's host fetch + transfer overlapped
+    with the current predict (DevicePrefetcher — eval batches come from
+    per-batch host collates, which would otherwise serialize with the
+    device). Yields ``(host_batch, device_outputs)`` — callers trim
     outputs to their real row count (targets/qids length) before
     reducing, since eval_put may append zero rows for divisibility."""
     import numpy as np
 
+    from uniter_tpu.data.loader import DevicePrefetcher
+
     mesh = local_eval_mesh()
     params = local_eval_params(params, mesh)
-    for batch in loader:
-        jb = eval_put({k: v for k, v in batch.items()
-                       if isinstance(v, np.ndarray)}, mesh)
-        yield batch, predict_fn(params, jb)
+
+    def put(batch):
+        return batch, eval_put({k: v for k, v in batch.items()
+                                if isinstance(v, np.ndarray)}, mesh)
+
+    it = DevicePrefetcher(iter(loader), put, depth=prefetch)
+    try:
+        for batch, jb in it:
+            yield batch, predict_fn(params, jb)
+    finally:
+        it.close()
 
 
 def load_params(path: str, template_params):
