@@ -125,7 +125,7 @@ def validate(model, params, val_loaders, pred_cache=None):
     import time
 
     from uniter_tpu.training.infer import (
-        eval_put, local_eval_mesh, local_eval_params,
+        eval_batches, local_eval_mesh, local_eval_params,
     )
 
     mesh = local_eval_mesh()
@@ -147,56 +147,43 @@ def validate(model, params, val_loaders, pred_cache=None):
                     lambda p, b, t=task: model.apply(
                         {"params": p}, b, t, False, deterministic=True))
         pred = pred_cache[task]
-        from uniter_tpu.data.loader import DevicePrefetcher
-
-        def put(batch):
-            return batch, eval_put({k: v for k, v in batch.items()
-                                    if isinstance(v, np.ndarray)}, mesh)
-
-        # overlap the next batch's host collate + transfer with compute
-        pit = DevicePrefetcher(iter(loader), put, depth=2)
-        try:
-            for batch, jb in pit:
-                # zero rows may be appended for data-axis divisibility;
-                # every readback below trims to the host batch's row
-                # count, so the in-batch-mask reductions never see them
-                n_rows = batch["input_ids"].shape[0]
-                out = pred(params, jb)
-                if task == "mlm":
-                    logits = np.asarray(out)[:n_rows]  # [B, M, V]
-                    tgt = np.asarray(batch["mlm_tgt"])
-                    valid = tgt != -1
-                    n_correct += int(
-                        (logits.argmax(-1) == tgt)[valid].sum())
-                    n_word += int(valid.sum())
-                elif task == "mrfr":
-                    pred_feat = np.asarray(out)[:n_rows]
-                    tgtf = np.asarray(batch["feat_targets"])
-                    w = np.asarray(batch["mrm_valid"])[..., None]
-                    loss_sum += float(
-                        (np.square(pred_feat - tgtf) * w).sum()
-                        / pred_feat.shape[-1])
-                    n_word += int(w.sum())
-                elif task.startswith("mrc"):
-                    logits = np.asarray(out)[:n_rows]  # [B, Mr, L]
-                    tgt = np.asarray(batch["label_targets"])
-                    valid = np.asarray(batch["mrm_valid"]) > 0
-                    # acc vs argmax of soft label, background excluded
-                    # (reference pretrain.py:480-490)
-                    lab = tgt[..., 1:].argmax(-1) + 1
-                    n_correct += int(
-                        (logits.argmax(-1) == lab)[valid].sum())
-                    n_word += int(valid.sum())
-                elif task.startswith("itm"):
-                    scores, _ = out
-                    scores = np.asarray(scores)[:n_rows]
-                    tgt = np.asarray(batch["targets"])
-                    valid = tgt != -1
-                    n_correct += int(
-                        (scores.argmax(-1) == tgt)[valid].sum())
-                    n_word += int(valid.sum())
-        finally:
-            pit.close()
+        # eval_batches: per-batch rows over the local chips, next batch's
+        # host collate + transfer overlapped with compute; its internal
+        # local_eval_params is a no-op on the already-localized params
+        for batch, out in eval_batches(pred, params, loader):
+            # zero rows may be appended for data-axis divisibility; every
+            # readback below trims to the host batch's row count, so the
+            # in-batch-mask reductions never see them
+            n_rows = batch["input_ids"].shape[0]
+            if task == "mlm":
+                logits = np.asarray(out)[:n_rows]  # [B, M, V]
+                tgt = np.asarray(batch["mlm_tgt"])
+                valid = tgt != -1
+                n_correct += int((logits.argmax(-1) == tgt)[valid].sum())
+                n_word += int(valid.sum())
+            elif task == "mrfr":
+                pred_feat = np.asarray(out)[:n_rows]
+                tgtf = np.asarray(batch["feat_targets"])
+                w = np.asarray(batch["mrm_valid"])[..., None]
+                loss_sum += float((np.square(pred_feat - tgtf) * w).sum()
+                                  / pred_feat.shape[-1])
+                n_word += int(w.sum())
+            elif task.startswith("mrc"):
+                logits = np.asarray(out)[:n_rows]  # [B, Mr, L]
+                tgt = np.asarray(batch["label_targets"])
+                valid = np.asarray(batch["mrm_valid"]) > 0
+                # acc vs argmax of soft label, background excluded
+                # (reference pretrain.py:480-490)
+                lab = tgt[..., 1:].argmax(-1) + 1
+                n_correct += int((logits.argmax(-1) == lab)[valid].sum())
+                n_word += int(valid.sum())
+            elif task.startswith("itm"):
+                scores, _ = out
+                scores = np.asarray(scores)[:n_rows]
+                tgt = np.asarray(batch["targets"])
+                valid = tgt != -1
+                n_correct += int((scores.argmax(-1) == tgt)[valid].sum())
+                n_word += int(valid.sum())
         # gather counters across hosts (reference pretrain.py:390-544
         # all_gather_list on every validation stat)
         from uniter_tpu.parallel.collectives import all_gather_list

@@ -88,15 +88,13 @@ def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
                          grad_norm=2.0, weight_decay=0.01, fused=True,
                          mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16,
                          master=param_bf16)
-    state = TrainState.create(params, tx)
-    if param_bf16:  # storage cast AFTER init (masters stay exact fp32);
-        # same policy object as --param_dtype bfloat16
-        from types import SimpleNamespace
+    from types import SimpleNamespace
 
-        from uniter_tpu.training.driver import maybe_cast_param_storage
+    from uniter_tpu.training.driver import make_train_state
 
-        state = state.replace(params=maybe_cast_param_storage(
-            state.params, SimpleNamespace(param_dtype="bfloat16")))
+    # the driver's create-then-cast sequence (masters stay exact fp32)
+    state = make_train_state(params, tx, SimpleNamespace(
+        param_dtype="bfloat16" if param_bf16 else "float32"))
 
     def loss_fn(p, b, r):
         per_elem = model.apply({"params": p}, b, True, deterministic=False,

@@ -626,7 +626,7 @@ psh = param_sharding_full(params, mesh_g,
                           MeshConfig(fsdp=True, fsdp_min_size=16))
 sp = jax.device_put(params, psh)
 for name, cand in (("replicated", gp), ("fsdp", sp)):
-    lp = local_eval_params(cand)   # collective for fsdp — lockstep here
+    lp = local_eval_params(cand, lm)  # collective for fsdp — lockstep
     got = np.asarray(predict(lp, eval_put(dict(batch), lm)))[:b]
     np.testing.assert_allclose(got, oracle, rtol=1e-6, atol=1e-6,
                                err_msg=name)

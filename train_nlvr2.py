@@ -74,10 +74,10 @@ def validate(model, params, loader, paired: bool):
     """Batches shard over the local chips; params are made process-local
     once (infer.eval_batches); outputs trim to the targets length (the
     paired model emits one score row per PAIR)."""
-    from uniter_tpu.training.infer import eval_batches
+    from uniter_tpu.training.infer import cached_predict, eval_batches
 
     n_correct, n_ex, loss_sum = 0, 0, 0.0
-    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    predict = cached_predict(model)
     for batch, out in eval_batches(predict, params, loader):
         targets = np.asarray(batch["targets"])
         scores = np.asarray(out)[:len(targets)]

@@ -43,9 +43,9 @@ def evaluate(model, params, loader):
     Batches shard over the local chips; params made process-local once
     (infer.eval_batches); w indexes only host rows, so padded output rows
     are never read."""
-    from uniter_tpu.training.infer import eval_batches
+    from uniter_tpu.training.infer import cached_predict, eval_batches
 
-    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    predict = cached_predict(model)
     n_correct, n_ex = 0, 0
     for batch, out in eval_batches(predict, params, loader):
         scores = np.asarray(out)

@@ -63,9 +63,9 @@ def validate(model, params, loader):
     Batches shard over the local chips; params made process-local once
     (infer.eval_batches); the n_rows offsets only walk host rows, so
     padded output rows are never read."""
-    from uniter_tpu.training.infer import eval_batches
+    from uniter_tpu.training.infer import cached_predict, eval_batches
 
-    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    predict = cached_predict(model)
     n_qa, n_qar, n_ex = 0, 0, 0
     for batch, out in eval_batches(predict, params, loader):
         scores = np.asarray(out)[:, 0]

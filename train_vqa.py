@@ -37,9 +37,9 @@ def validate(model, params, loader, num_answer):
     """VQA soft-score accuracy (reference train_vqa.py:312-341). Batches
     shard over the local chips; params are made process-local once
     (infer.eval_batches)."""
-    from uniter_tpu.training.infer import eval_batches
+    from uniter_tpu.training.infer import cached_predict, eval_batches
 
-    predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
+    predict = cached_predict(model)
     score_sum, n_ex, loss_sum = 0.0, 0, 0.0
     for batch, out in eval_batches(predict, params, loader):
         targets = np.asarray(batch["targets"])

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import weakref
 from types import SimpleNamespace
 from typing import Optional
 
@@ -131,25 +132,54 @@ def local_eval_params(params, mesh=None):
 
     leaves = [x for x in jax.tree.leaves(params)
               if isinstance(x, jax.Array) and not x.is_fully_addressable]
-    if not leaves:
-        return params
-    if any(not x.sharding.is_fully_replicated for x in leaves):
-        gmesh = leaves[0].sharding.mesh
-        rep = NamedSharding(gmesh, P())
-        params = jax.jit(
-            lambda p: p,
-            out_shardings=jax.tree.map(lambda _: rep, params))(params)
+    if leaves:
+        if any(not x.sharding.is_fully_replicated for x in leaves):
+            gmesh = leaves[0].sharding.mesh
+            rep = NamedSharding(gmesh, P())
+            params = jax.jit(
+                lambda p: p,
+                out_shardings=jax.tree.map(lambda _: rep, params))(params)
 
-    def to_host(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            return np.asarray(x.addressable_data(0))
-        return x
+        def to_host(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return np.asarray(x.addressable_data(0))
+            return x
 
-    params = jax.tree.map(to_host, params)
+        params = jax.tree.map(to_host, params)
     if mesh is not None:
+        # commit host leaves (gathered above, or checkpoint-loaded numpy)
+        # to the local mesh ONCE so the per-batch jits don't re-place them
         lrep = NamedSharding(mesh, P())
-        params = jax.tree.map(lambda x: jax.device_put(x, lrep), params)
+        params = jax.tree.map(
+            lambda x: (jax.device_put(x, lrep)
+                       if isinstance(x, np.ndarray) else x), params)
     return params
+
+
+_PREDICT_CACHE = weakref.WeakKeyDictionary()
+
+
+def cached_predict(model):
+    """Per-model jitted forward ``(params, batch) -> outputs``. Validation
+    helpers call this instead of building a fresh ``jax.jit(lambda ...)``
+    per validation round — a new callable would re-trace (and re-look-up
+    compilation) every round."""
+    import jax
+
+    try:
+        fn = _PREDICT_CACHE.get(model)
+    except TypeError:  # unhashable model: fall back to uncached
+        fn = None
+    if fn is None:
+        def fn(p, b, _m=model):
+            return _m.apply({"params": p}, b, False)
+
+        fn = jax.jit(fn)
+        try:
+            _PREDICT_CACHE[model] = fn
+        except TypeError:
+            pass
+    return fn
 
 
 def eval_batches(predict_fn, params, loader, prefetch: int = 2):
