@@ -100,8 +100,9 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
                 model, params, val_ds, t_bucket, r_bucket,
                 dtype=model.config.dtype, mesh=mesh, **shard)
         else:
-            predict = jax.jit(
-                lambda p, b: model.apply({"params": p}, b, False))
+            from uniter_tpu.training.infer import cached_predict
+
+            predict = cached_predict(model)
             mat, txt_ids = inference_score_matrix(
                 predict, val_ds, params, t_bucket, r_bucket, mesh=mesh,
                 **shard)
@@ -120,8 +121,9 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
         for s in rows:  # gt at window index 0
             ranks.append(int(np.argsort(-s).tolist().index(0)))
     else:
-        predict = jax.jit(
-            lambda p, b: model.apply({"params": p}, b, False))
+        from uniter_tpu.training.infer import cached_predict
+
+        predict = cached_predict(model)
         for i in range(shard["shard_index"], len(val_ds),
                        shard["shard_count"]):
             scores = []
