@@ -148,9 +148,9 @@ def validate(model, params, val_loaders, pred_cache=None):
                         {"params": p}, b, t, False, deterministic=True))
         pred = pred_cache[task]
         # eval_batches: per-batch rows over the local chips, next batch's
-        # host collate + transfer overlapped with compute; its internal
-        # local_eval_params is a no-op on the already-localized params
-        for batch, out in eval_batches(pred, params, loader):
+        # host collate + transfer overlapped with compute; params were
+        # localized once above (mesh passed => no re-localization)
+        for batch, out in eval_batches(pred, params, loader, mesh=mesh):
             # zero rows may be appended for data-axis divisibility; every
             # readback below trims to the host batch's row count, so the
             # in-batch-mask reductions never see them

@@ -76,7 +76,9 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
     and batched on CPU."""
     from uniter_tpu.data.itm import ItmEvalDataset
     from uniter_tpu.parallel.collectives import all_gather_list
-    from uniter_tpu.training.infer import local_eval_mesh, local_eval_params
+    from uniter_tpu.training.infer import (
+        cached_predict, eval_put, local_eval_mesh, local_eval_params,
+    )
     from uniter_tpu.utils.itm_fast import (
         fast_score_matrix, fast_windowed_scores,
     )
@@ -100,8 +102,6 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
                 model, params, val_ds, t_bucket, r_bucket,
                 dtype=model.config.dtype, mesh=mesh, **shard)
         else:
-            from uniter_tpu.training.infer import cached_predict
-
             predict = cached_predict(model)
             mat, txt_ids = inference_score_matrix(
                 predict, val_ds, params, t_bucket, r_bucket, mesh=mesh,
@@ -121,15 +121,11 @@ def validate_retrieval(model, params, val_ds, t_bucket=None, r_bucket=None,
         for s in rows:  # gt at window index 0
             ranks.append(int(np.argsort(-s).tolist().index(0)))
     else:
-        from uniter_tpu.training.infer import cached_predict
-
         predict = cached_predict(model)
         for i in range(shard["shard_index"], len(val_ds),
                        shard["shard_count"]):
             scores = []
             for batch in val_ds.get_batches(i, t_bucket, r_bucket):
-                from uniter_tpu.training.infer import eval_put
-
                 n_real = int(batch["ex_weight"].sum())
                 jb = eval_put({k: v for k, v in batch.items()
                                if isinstance(v, np.ndarray)}, mesh)

@@ -136,12 +136,14 @@ def optim_kwargs(opts) -> dict:
         mu_dtype=md, nu_dtype=md, master=master)
 
 
-def maybe_cast_param_storage(params, opts, min_size: int = 2 ** 16):
-    """--param_dtype bfloat16: cast LARGE param leaves to bf16 storage.
-    Small leaves — LN weights/biases, biases — stay fp32, mirroring apex
-    O2's fp32-LN policy (the reference's training numerics)."""
+def maybe_cast_param_storage(params, opts):
+    """--param_dtype bfloat16: cast LARGE param leaves (>= 2**16 elements
+    — embeddings and GEMM kernels) to bf16 storage. Small leaves — LN
+    weights/biases, biases — stay fp32, mirroring apex O2's fp32-LN
+    policy (the reference's training numerics)."""
     if getattr(opts, "param_dtype", "float32") != "bfloat16":
         return params
+    min_size = 2 ** 16
     return jax.tree.map(
         lambda p: (p.astype(jnp.bfloat16)
                    if p.size >= min_size and p.dtype == jnp.float32

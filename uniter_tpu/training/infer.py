@@ -127,28 +127,30 @@ def local_eval_params(params, mesh=None):
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if jax.process_count() == 1:
-        return params
+    if jax.process_count() > 1:
+        leaves = [x for x in jax.tree.leaves(params)
+                  if isinstance(x, jax.Array)
+                  and not x.is_fully_addressable]
+        if leaves:
+            if any(not x.sharding.is_fully_replicated for x in leaves):
+                gmesh = leaves[0].sharding.mesh
+                rep = NamedSharding(gmesh, P())
+                params = jax.jit(
+                    lambda p: p,
+                    out_shardings=jax.tree.map(
+                        lambda _: rep, params))(params)
 
-    leaves = [x for x in jax.tree.leaves(params)
-              if isinstance(x, jax.Array) and not x.is_fully_addressable]
-    if leaves:
-        if any(not x.sharding.is_fully_replicated for x in leaves):
-            gmesh = leaves[0].sharding.mesh
-            rep = NamedSharding(gmesh, P())
-            params = jax.jit(
-                lambda p: p,
-                out_shardings=jax.tree.map(lambda _: rep, params))(params)
+            def to_host(x):
+                if (isinstance(x, jax.Array)
+                        and not x.is_fully_addressable):
+                    return np.asarray(x.addressable_data(0))
+                return x
 
-        def to_host(x):
-            if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                return np.asarray(x.addressable_data(0))
-            return x
-
-        params = jax.tree.map(to_host, params)
+            params = jax.tree.map(to_host, params)
     if mesh is not None:
         # commit host leaves (gathered above, or checkpoint-loaded numpy)
         # to the local mesh ONCE so the per-batch jits don't re-place them
+        # (applies single-process too)
         lrep = NamedSharding(mesh, P())
         params = jax.tree.map(
             lambda x: (jax.device_put(x, lrep)
@@ -182,7 +184,7 @@ def cached_predict(model):
     return fn
 
 
-def eval_batches(predict_fn, params, loader, prefetch: int = 2):
+def eval_batches(predict_fn, params, loader, prefetch: int = 2, mesh=None):
     """Drive a jitted predict over an eval loader with the standard
     two-level sharding: params made process-local once (local_eval_params
     on the local mesh), each batch's rows spread over the local chips
@@ -191,13 +193,18 @@ def eval_batches(predict_fn, params, loader, prefetch: int = 2):
     per-batch host collates, which would otherwise serialize with the
     device). Yields ``(host_batch, device_outputs)`` — callers trim
     outputs to their real row count (targets/qids length) before
-    reducing, since eval_put may append zero rows for divisibility."""
+    reducing, since eval_put may append zero rows for divisibility.
+
+    Pass ``mesh`` when the caller ALREADY localized params with
+    local_eval_params(params, mesh) (e.g. once for several loaders) —
+    localization is then skipped here instead of relying on idempotence."""
     import numpy as np
 
     from uniter_tpu.data.loader import DevicePrefetcher
 
-    mesh = local_eval_mesh()
-    params = local_eval_params(params, mesh)
+    if mesh is None:
+        mesh = local_eval_mesh()
+        params = local_eval_params(params, mesh)
 
     def put(batch):
         return batch, eval_put({k: v for k, v in batch.items()

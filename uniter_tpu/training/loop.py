@@ -120,17 +120,21 @@ def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False,
     axis = 1 if accum else 0
     dequant = []
 
-    def put_one(k, v):
+    def local_block(k, v):
+        """This host's slice of a full-global array (local=False only)."""
+        if not (multi and not local):
+            return v
+        p, n = jax.process_index(), jax.process_count()
+        assert v.shape[axis] % n == 0, (
+            f"batch axis {v.shape[axis]} ({k}) not divisible by "
+            f"{n} processes — rows would be silently dropped")
+        blk = v.shape[axis] // n
+        sl = [slice(None)] * v.ndim
+        sl[axis] = slice(p * blk, (p + 1) * blk)
+        return v[tuple(sl)]
+
+    def put_one(v):
         if multi:
-            if not local:
-                p, n = jax.process_index(), jax.process_count()
-                assert v.shape[axis] % n == 0, (
-                    f"batch axis {v.shape[axis]} ({k}) not divisible by "
-                    f"{n} processes — rows would be silently dropped")
-                blk = v.shape[axis] // n
-                sl = [slice(None)] * v.ndim
-                sl[axis] = slice(p * blk, (p + 1) * blk)
-                v = v[tuple(sl)]
             return jax.make_array_from_process_local_data(bsh, v)
         return jax.device_put(v, bsh)
 
@@ -139,16 +143,19 @@ def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False,
         if not isinstance(v, np.ndarray):
             out[k] = v  # host-side metadata (qids etc.) stays put
             continue
+        # slice BEFORE any host-side codec work: per-row quantization of
+        # the full global candidate batch would do n_processes x the work
+        v = local_block(k, v)
         if (wire_codec == "int8" and k in WIRE_INT8_KEYS
                 and v.dtype == np.float32):
             q, scale = _quantize_wire_int8(v)
-            out[k] = (put_one(k, q), put_one(k, scale))
+            out[k] = (put_one(q), put_one(scale))
             dequant.append(k)
             continue
         if (transfer_dtype is not None and k in TRANSFER_CAST_KEYS
                 and v.dtype == np.float32):
             v = v.astype(transfer_dtype)
-        out[k] = put_one(k, v)
+        out[k] = put_one(v)
     for k in dequant:
         q, scale = out[k]
         dt = np.dtype(transfer_dtype) if transfer_dtype is not None \
