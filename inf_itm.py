@@ -33,7 +33,9 @@ def main(opts):
     txt_db = TxtTokDb(opts.txt_db, max_txt_len=-1)
     img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
                           max_bb=hps.max_bb, min_bb=hps.min_bb,
-                          num_bb=hps.num_bb)
+                          num_bb=hps.num_bb,
+                          compress=bool(getattr(hps, "compressed_db",
+                                                False)))
     ds = ItmEvalDataset(txt_db, img_db, mini_batch_size=opts.batch_size)
 
     b0 = ds.get_batches(0, opts.txt_bucket, opts.img_bucket)[0]

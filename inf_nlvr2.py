@@ -33,7 +33,9 @@ def main(opts):
     txt_db = TxtTokDb(opts.txt_db, max_txt_len=-1)
     img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
                           max_bb=hps.max_bb, min_bb=hps.min_bb,
-                          num_bb=hps.num_bb)
+                          num_bb=hps.num_bb,
+                          compress=bool(getattr(hps, "compressed_db",
+                                                False)))
     paired = hps.model in ("paired", "paired-attn")
     cls = Nlvr2PairedDataset if paired else Nlvr2TripletDataset
     ds = cls(txt_db, img_db, use_img_type=hps.use_img_type)

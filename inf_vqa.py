@@ -43,7 +43,9 @@ def main(opts):
     txt_db = TxtTokDb(opts.txt_db, max_txt_len=-1)
     img_db = DetectFeatDb(opts.img_db, conf_th=hps.conf_th,
                           max_bb=hps.max_bb, min_bb=hps.min_bb,
-                          num_bb=hps.num_bb)
+                          num_bb=hps.num_bb,
+                          compress=bool(getattr(hps, "compressed_db",
+                                                False)))
     # texts shard across processes; results all-gathered before writing
     # (reference inf_vqa.py runs multi-GPU with hvd all_gather)
     from uniter_tpu.training.driver import shard_kw

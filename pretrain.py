@@ -80,8 +80,10 @@ def create_dataloaders(datasets_cfg, opts, mesh, train=True) -> Dict[str, tuple]
     """name -> (loader, ratio); name is '{task}_{corpus-name}'
     (reference pretrain.py:116-165). Validation loaders do one full pass
     and never drop tail examples (drop_last=False)."""
+    compress = (bool(getattr(opts, "compressed_db", False))
+                and not opts.uncompressed_db)
     img_group = ImageDbGroup(opts.conf_th, opts.max_bb, opts.min_bb,
-                             opts.num_bb, compress=not opts.uncompressed_db)
+                             opts.num_bb, compress=compress)
     out = {}
     for dset in datasets_cfg:
         name = dset["name"]
@@ -284,7 +286,10 @@ def get_parser():
     parser.add_argument("--mrm_prob", type=float, default=0.15)
     parser.add_argument("--itm_neg_prob", type=float, default=0.5)
     parser.add_argument("--itm_ot_lambda", type=float, default=0.1)
-    parser.add_argument("--uncompressed_db", action="store_true")
+    parser.add_argument("--uncompressed_db", action="store_true",
+                        help="deprecated no-op: uncompressed is the "
+                             "default (reference parity); use "
+                             "--compressed_db to opt in")
     parser.set_defaults(learning_rate=5e-5, num_train_steps=200000,
                         warmup_steps=10000, train_batch_size=10240,
                         max_txt_len=60)

@@ -47,7 +47,7 @@ def main(opts):
         write_img_db(opts.output, records, conf_th=opts.conf_th,
                      max_bb=opts.max_bb, min_bb=opts.min_bb,
                      num_bb=opts.num_bb,
-                     compress=not opts.uncompressed)
+                     compress=opts.compress and not opts.uncompressed)
     LOGGER.info("wrote img_db to %s", opts.output)
 
 
@@ -62,5 +62,11 @@ if __name__ == "__main__":
                         help="gt layout store name when --conf_th -1 "
                              "(default 100, matching the readers)")
     parser.add_argument("--nproc", type=int, default=8)
-    parser.add_argument("--uncompressed", action="store_true")
+    parser.add_argument("--compress", action="store_true",
+                        help="write the *_compressed (npz) store layout "
+                             "(reference scripts/convert_imgdir.py:128; "
+                             "default matches the released uncompressed "
+                             "msgpack DBs)")
+    parser.add_argument("--uncompressed", action="store_true",
+                        help="deprecated no-op: uncompressed is the default")
     main(parser.parse_args())

@@ -5,7 +5,7 @@
 #   scripts/create_imgdb.sh <npz_dir> <out_img_db_dir> [convert_imgdir args...]
 #
 # Extra args pass straight through (--conf_th/--max_bb/--min_bb/--num_bb/
-# --nproc/--uncompressed).
+# --nproc/--compress).
 
 set -e
 

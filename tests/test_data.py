@@ -91,6 +91,26 @@ def test_db_roundtrip(dbs):
     assert dump["features"].dtype == np.float32
 
 
+def test_compress_flag_mismatch(dbs, tmp_path):
+    """Records decode regardless of the --compressed_db flag: format is
+    sniffed from the bytes, and a missing store name falls back to the
+    opposite compression variant."""
+    rng = np.random.RandomState(1)
+    recs = {"x.npz": dict(features=rng.randn(5, IMG_DIM).astype(np.float16),
+                          norm_bb=rng.rand(5, 6).astype(np.float16),
+                          conf=np.linspace(1, 0.3, 5).astype(np.float16),
+                          soft_labels=rng.rand(5, LABEL_DIM).astype(np.float16))}
+    for compress in (True, False):
+        d = str(tmp_path / f"img_{compress}")
+        write_img_db(d, recs, conf_th=0.2, max_bb=14, min_bb=4,
+                     compress=compress)
+        for open_compress in (True, False):
+            db = DetectFeatDb(d, conf_th=0.2, max_bb=14, min_bb=4,
+                              compress=open_compress)
+            feat, pos7, nbb = db.get_img_feat("x.npz")
+            assert feat.shape == (5, IMG_DIM) and nbb == 5
+
+
 def test_mlm_loader(dbs):
     txt_db, img_db = open_dbs(dbs)
     spec = BucketSpec((16, 32), (8, 16), token_budget=128, min_batch=4)

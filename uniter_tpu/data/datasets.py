@@ -113,7 +113,7 @@ class ImageDbGroup:
     data/data.py:298-312)."""
 
     def __init__(self, conf_th=0.2, max_bb=100, min_bb=10, num_bb=36,
-                 compress=True):
+                 compress=False):
         self.kw = dict(conf_th=conf_th, max_bb=max_bb, min_bb=min_bb,
                        num_bb=num_bb, compress=compress)
         self.cache = {}

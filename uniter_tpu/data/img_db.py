@@ -36,8 +36,14 @@ def _fp16_to_fp32(d):
 
 class DetectFeatDb:
     def __init__(self, img_dir: str, conf_th: float = 0.2, max_bb: int = 100,
-                 min_bb: int = 10, num_bb: int = 36, compress: bool = True,
+                 min_bb: int = 10, num_bb: int = 36, compress: bool = False,
                  store: Optional[KVStore] = None, cache_size: int = 256):
+        # compress defaults False: the reference class default is True
+        # (data/data.py:50) but every reference driver passes
+        # ``--compressed_db`` which defaults False, and the released DBs
+        # are uncompressed — mirror the effective default. The flag only
+        # selects the store NAME; record decoding auto-detects the format
+        # (npz blobs are zip files, msgpack never starts with "PK").
         # LRU of decoded (features, pos7) — images are shared by many texts
         # (COCO ~5 captions/image; NLVR2 pairs), so decode once.
         from collections import OrderedDict
@@ -83,20 +89,28 @@ class DetectFeatDb:
             db_name = "all_compressed" if compress else "all"
         path = os.path.join(img_dir, db_name)
         if not os.path.isdir(path) and store is None:
-            # the exact-named store is absent: when the dir holds exactly
-            # one feat_* store, use it (e.g. a gt DB opened with detection
-            # thresholds or a numbb mismatch) rather than failing later
+            # the exact-named store is absent. First try the opposite
+            # compression variant of the same name (a flag/DB mismatch is
+            # harmless: decoding auto-detects the format); then, when the
+            # dir holds exactly one store, use it (e.g. a gt DB opened with
+            # detection thresholds or a numbb mismatch).
+            flipped = (db_name[: -len("_compressed")]
+                       if db_name.endswith("_compressed")
+                       else db_name + "_compressed")
             cands = (sorted(
                 d for d in os.listdir(img_dir)
-                if d.startswith("feat_")
+                if (d.startswith("feat_") or d in ("all", "all_compressed"))
                 and os.path.isdir(os.path.join(img_dir, d)))
                 if os.path.isdir(img_dir) else [])
+            if flipped in cands:
+                cands = [flipped]
             if len(cands) == 1:
                 from uniter_tpu.utils.logger import LOGGER
 
                 LOGGER.warning("img_db %s: store %s not found, using %s",
                                img_dir, db_name, cands[0])
                 path = os.path.join(img_dir, cands[0])
+                self.compress = cands[0].endswith("_compressed")
             else:
                 # tolerate a bare store directory (test fixtures)
                 path = img_dir
@@ -107,8 +121,14 @@ class DetectFeatDb:
     def _decode(self, dump: bytes, keys=None) -> Dict[str, np.ndarray]:
         """Decode an npz/msgpack record; ``keys`` limits which arrays are
         materialized (soft_labels is ~half the bytes and only MRC needs it —
-        the reference decodes selectively too, data/data.py:119-121)."""
-        if self.compress:
+        the reference decodes selectively too, data/data.py:119-121).
+
+        Format is detected from the bytes, not ``self.compress``: npz dumps
+        are zip archives (magic ``PK``) while msgpack records are maps
+        (first byte 0x80-0x8f/0xde/0xdf), so a store opened under the wrong
+        compression flag (e.g. released uncompressed DBs with
+        ``--compressed_db``) still reads correctly."""
+        if dump[:2] == b"PK":
             with io.BytesIO(dump) as reader:
                 z = np.load(reader, allow_pickle=True)
                 names = keys if keys is not None else z.files
@@ -165,8 +185,10 @@ class DetectFeatDb:
 
 def write_img_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
                  conf_th: float = 0.2, max_bb: int = 100, min_bb: int = 10,
-                 compress: bool = True, num_bb: int = 36):
+                 compress: bool = False, num_bb: int = 36):
     """Create an img DB (test fixtures; scripts/convert_imgdir.py analog).
+    Default uncompressed (msgpack records) — the reference converter's
+    default and the released DBs' format (scripts/convert_imgdir.py:128).
 
     records: fname -> {features [N,2048] fp16, norm_bb [N,6] fp16,
                        conf [N], soft_labels [N,1601]} — a mapping, or any

@@ -36,6 +36,10 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--checkpoint", type=str, default="")
     parser.add_argument("--model_config", type=str)
     parser.add_argument("--output_dir", default=None, type=str)
+    parser.add_argument("--compressed_db", action="store_true",
+                        help="img DBs use the *_compressed (npz) store "
+                             "layout (reference train_vqa.py:316; released "
+                             "DBs are uncompressed msgpack)")
     parser.add_argument("--max_txt_len", type=int, default=60)
     parser.add_argument("--conf_th", type=float, default=0.2)
     parser.add_argument("--max_bb", type=int, default=100)
@@ -188,14 +192,19 @@ def shard_kw() -> dict:
                 shard_count=jax.process_count())
 
 
-def open_img_db(path, opts, compress=True, gt=False) -> DetectFeatDb:
-    """``gt=True``: ground-truth region DBs are opened with conf_th=-1 and
+def open_img_db(path, opts, compress=None, gt=False) -> DetectFeatDb:
+    """``compress=None`` resolves from ``opts.compressed_db`` (the
+    reference flag on every driver, default False — train_vqa.py:316-317;
+    released DBs are uncompressed). ``gt=True``: ground-truth region DBs
+    are opened with conf_th=-1 and
     num_bb=100 (the reference's convention everywhere —
     train_vcr.py:105-107, inf_vcr.py:45-47); released vcr_gt_* tars only
     contain the feat_numbb100 store, so detection thresholds would fail to
     resolve it. The reference also detects gt DBs by path
     (train_re.py:42-45 '"gt" in path' / inf_re.py:67 'coco_gt') — mirror
     that so RE's visual-grounding gt DBs open correctly too."""
+    if compress is None:
+        compress = bool(getattr(opts, "compressed_db", False))
     base = os.path.basename(os.path.normpath(path))
     if "coco_gt" in base or base.endswith("_gt"):
         gt = True
