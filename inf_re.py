@@ -30,73 +30,93 @@ def main(opts):
         cfg, img_dim=IMG_DIM, loss_type=getattr(hps, "train_loss", "cls"),
         mlp=getattr(hps, "mlp", 1))
 
-    txt_db = ReTxtTokDb(opts.txt_db, max_txt_len=-1)
     # gt convention (conf_th=-1 / num_bb=100 when the path names a gt DB,
     # reference inf_re.py:67-71) lives in driver.open_img_db
-    from uniter_tpu.training.driver import open_img_db
+    from uniter_tpu.parallel.collectives import all_gather_list, process_index
+    from uniter_tpu.training.driver import open_img_db, shard_kw
 
     img_db = open_img_db(opts.img_db, hps,
                          gt="coco_gt" in opts.img_db)
-    from uniter_tpu.training.driver import shard_kw
-
-    ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat,
-                       **shard_kw())
-    loader = BucketLoader(
-        ds, spec_from_dataset(ds, opts.batch_size),
-        shuffle=False, drop_last=False)
-
-    batch0 = next(iter(loader))
-    jb0 = {k: jnp.asarray(v) for k, v in jnp_batch(batch0).items()}
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        jb0, False)["params"]
-    params = infer.load_params(
-        infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
-
     # each process's batches spread over its local chips (reference
     # inf_re.py runs every GPU; sentences are already process-sharded)
     mesh = infer.local_eval_mesh()
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
-    n_correct, n_ex = 0, 0
-    predictions = []
-    for batch in loader:
-        jb = infer.eval_put(jnp_batch(batch), mesh)
-        scores = np.asarray(predict(params, jb))
-        w = np.asarray(batch["ex_weight"]) > 0
-        preds = scores.argmax(-1)
-        for i in np.nonzero(w)[0]:
-            obj_boxes = batch["obj_boxes"][i]
-            pred_box = obj_boxes[min(int(preds[i]), len(obj_boxes) - 1)]
-            iou = compute_iou(pred_box, batch["tgt_box"][i])
-            correct = iou > 0.5
-            n_correct += int(correct)
-            n_ex += 1
-            predictions.append({
-                "sent_id": batch["sent_ids"][i],
-                "pred_box": [float(x) for x in pred_box],
-                "iou": float(iou),
-            })
-    from uniter_tpu.parallel.collectives import all_gather_list, process_index
 
-    parts = all_gather_list((n_correct, n_ex, predictions))
-    n_correct = sum(p[0] for p in parts)
-    n_ex = sum(p[1] for p in parts)
-    predictions = [x for p in parts for x in p[2]]
-    acc = n_correct / max(n_ex, 1)
+    # colon-separated txt_db evaluates every split in one invocation
+    # (reference inf_re.py:76-77, scripts/eval_refcoco*.sh pass
+    # refcoco_val.db:refcoco_testA.db:refcoco_testB.db)
+    splits = [p for p in opts.txt_db.split(":") if p]
     feat = "gt" if opts.use_gt_feat else "det"
-    if process_index() == 0:
-        os.makedirs(opts.output_dir, exist_ok=True)
-        with open(os.path.join(opts.output_dir, f"results_{feat}.json"),
-                  "w") as f:
-            json.dump({"acc": acc, "n_ex": n_ex,
-                       "predictions": predictions}, f)
-    LOGGER.info("RE %s-feature accuracy: %.4f (%d ex)", feat, acc, n_ex)
-    return acc
+    params = None
+    tot_correct, tot_ex = 0, 0
+    for txt_path in splits:
+        txt_db = ReTxtTokDb(txt_path, max_txt_len=-1)
+        ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat,
+                           **shard_kw())
+        loader = BucketLoader(
+            ds, spec_from_dataset(ds, opts.batch_size),
+            shuffle=False, drop_last=False)
+
+        if params is None:
+            batch0 = next(iter(loader))
+            jb0 = {k: jnp.asarray(v) for k, v in jnp_batch(batch0).items()}
+            params = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "sampling": jax.random.PRNGKey(1)}, jb0, False)["params"]
+            params = infer.load_params(
+                infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
+
+        n_correct, n_ex = 0, 0
+        predictions = []
+        for batch in loader:
+            jb = infer.eval_put(jnp_batch(batch), mesh)
+            scores = np.asarray(predict(params, jb))
+            w = np.asarray(batch["ex_weight"]) > 0
+            preds = scores.argmax(-1)
+            for i in np.nonzero(w)[0]:
+                obj_boxes = batch["obj_boxes"][i]
+                pred_box = obj_boxes[min(int(preds[i]), len(obj_boxes) - 1)]
+                iou = compute_iou(pred_box, batch["tgt_box"][i])
+                correct = iou > 0.5
+                n_correct += int(correct)
+                n_ex += 1
+                predictions.append({
+                    "sent_id": batch["sent_ids"][i],
+                    "pred_box": [float(x) for x in pred_box],
+                    "iou": float(iou),
+                })
+
+        parts = all_gather_list((n_correct, n_ex, predictions))
+        n_correct = sum(p[0] for p in parts)
+        n_ex = sum(p[1] for p in parts)
+        predictions = [x for p in parts for x in p[2]]
+        acc = n_correct / max(n_ex, 1)
+        tot_correct += n_correct
+        tot_ex += n_ex
+        # single split keeps the plain name (back-compat); multi-split
+        # names the file by db basename like the reference's
+        # results_*_{split}_on_{img_dir} convention (inf_re.py:106-109)
+        name = (f"results_{feat}.json" if len(splits) == 1 else
+                "results_{}_{}.json".format(
+                    os.path.basename(os.path.normpath(txt_path))
+                    .split(".")[0], feat))
+        if process_index() == 0:
+            os.makedirs(opts.output_dir, exist_ok=True)
+            with open(os.path.join(opts.output_dir, name), "w") as f:
+                json.dump({"acc": acc, "n_ex": n_ex,
+                           "predictions": predictions}, f)
+        LOGGER.info("RE %s %s-feature accuracy: %.4f (%d ex)",
+                    os.path.basename(os.path.normpath(txt_path)), feat,
+                    acc, n_ex)
+    return tot_correct / max(tot_ex, 1)
 
 
 def get_parser():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--txt_db", required=True)
+    parser.add_argument("--txt_db", required=True,
+                        help="colon-separated split DBs, e.g. "
+                             "refcoco_val.db:refcoco_testA.db:"
+                             "refcoco_testB.db (reference inf_re.py:76)")
     parser.add_argument("--img_db", required=True)
     parser.add_argument("--train_dir", required=True)
     parser.add_argument("--ckpt", default=None)

@@ -4,7 +4,9 @@
 # sets. gt and det features live in SEPARATE released DBs
 # (re_coco_gt with visual_grounding_coco_gt_*.npz, re_coco_det with
 # visual_grounding_det_coco_*.npz — download_re.sh), so each pass gets
-# its own --img_db.
+# its own --img_db. TXT_DB may be a colon-separated split list
+# (val:testA:testB) — every split is evaluated in one invocation; see
+# eval_refcoco+.sh / eval_refcocog.sh for the per-dataset split lists.
 set -e
 TRAIN_DIR=$1
 TXT_DB=$2

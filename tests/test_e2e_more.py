@@ -106,6 +106,21 @@ def test_train_re_e2e(tmp_path):
     res = json.load(open(str(tmp_path / "reinf") + "/results_gt.json"))
     assert res["n_ex"] == 8 and len(res["predictions"]) == 8
 
+    # colon-separated multi-split eval in one invocation (reference
+    # inf_re.py:76-77): per-split result files, micro-averaged return
+    margv = inf_re.get_parser().parse_args([
+        "--txt_db", f"{txt_dir}:{txt_dir}", "--img_db", img_dir,
+        "--train_dir", str(tmp_path / "out"),
+        "--output_dir", str(tmp_path / "reinf_multi"),
+        "--use_gt_feat", "--batch_size", "256",
+    ])
+    macc = inf_re.main(margv)
+    assert abs(macc - acc) < 1e-9
+    split = os.path.basename(os.path.normpath(txt_dir))
+    mres = json.load(open(
+        str(tmp_path / "reinf_multi") + f"/results_{split}_gt.json"))
+    assert mres["n_ex"] == 8 and abs(mres["acc"] - acc) < 1e-9
+
 
 @pytest.fixture()
 def itm_env(tmp_path):
