@@ -106,13 +106,22 @@ def test_train_re_e2e(tmp_path):
     res = json.load(open(str(tmp_path / "reinf") + "/results_gt.json"))
     assert res["n_ex"] == 8 and len(res["predictions"]) == 8
 
+    # best-checkpoint tracking (reference train_re.py:259-263): the
+    # step-2 validation saved ckpt/model_step_best.msgpack + sidecar
+    best = os.path.join(str(tmp_path / "out"), "ckpt",
+                        "model_step_best.msgpack")
+    assert os.path.exists(best)
+    binfo = json.load(open(best.replace(".msgpack", ".json")))
+    assert binfo["step"] == 2 and 0.0 <= binfo["value"] <= 1.0
+
     # colon-separated multi-split eval in one invocation (reference
-    # inf_re.py:76-77): per-split result files, micro-averaged return
+    # inf_re.py:76-77): per-split result files, micro-averaged return;
+    # --ckpt best resolves the best snapshot (reference inf_re.py:53-56)
     margv = inf_re.get_parser().parse_args([
         "--txt_db", f"{txt_dir}:{txt_dir}", "--img_db", img_dir,
         "--train_dir", str(tmp_path / "out"),
         "--output_dir", str(tmp_path / "reinf_multi"),
-        "--use_gt_feat", "--batch_size", "256",
+        "--use_gt_feat", "--batch_size", "256", "--ckpt", "best",
     ])
     macc = inf_re.main(margv)
     assert abs(macc - acc) < 1e-9

@@ -107,7 +107,11 @@ def main(opts):
     return driver.run_training(
         opts, model=model, params=params, loss_fn=loss_fn,
         train_loader=train_loader, mesh=mesh, validate_fn=validate_fn,
-        lr_mul_paths=("re_",), loss_scale="mean")
+        lr_mul_paths=("re_",), loss_scale="mean",
+        # ckpt/model_step_best.msgpack tracks the best val accuracy
+        # (reference train_re.py:259-263); inference loads it with
+        # --ckpt best
+        best_metric="acc")
 
 
 def get_parser():

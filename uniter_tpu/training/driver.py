@@ -370,7 +370,7 @@ def check_token_range(model_cfg, dataset, n_samples: int = 32):
 
 def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
                  validate_fn=None, lr_mul_paths: Sequence[str] = (),
-                 loss_scale: str = "sum"):
+                 loss_scale: str = "sum", best_metric: str = None):
     sched = get_lr_schedule(opts.learning_rate, opts.warmup_steps,
                             opts.num_train_steps)
     tx = build_optimizer(
@@ -407,7 +407,14 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
         wire_codec=(None if getattr(opts, "wire_codec", "cast") == "cast"
                     else opts.wire_codec),
         steps_per_call=getattr(opts, "steps_per_call", 1),
-        warmup_batches=warmup, lr_schedule=sched, loss_scale=loss_scale)
+        warmup_batches=warmup, lr_schedule=sched, loss_scale=loss_scale,
+        best_metric=best_metric)
     state = loop.run()
     LOGGER.info("training finished at step %d", int(state.step))
+    if best_metric and loop.best_value is not None:
+        info = saver.best_info() or {}
+        # reference logs the winning checkpoint at the end
+        # (train_re.py:280-282)
+        LOGGER.info("best %s = %.4f at step %s", best_metric,
+                    loop.best_value, info.get("step", "?"))
     return state

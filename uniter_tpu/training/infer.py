@@ -36,12 +36,17 @@ def model_config_from_meta(model_json: dict, **overrides) -> UniterConfig:
 
 
 def resolve_ckpt(train_dir: str, ckpt: Optional[str] = None) -> str:
-    """Pick an explicit snapshot file, or the latest model_step_N.msgpack.
+    """Pick an explicit snapshot file, ``best``/``<step>`` by name under
+    train_dir/ckpt (the reference's ``--checkpoint best`` convention,
+    inf_re.py:53-56), or the latest model_step_N.msgpack.
 
-    An explicitly requested path that does not exist is an ERROR — silently
-    falling back to the latest snapshot would report results for the wrong
-    checkpoint."""
+    An explicitly requested checkpoint that does not exist is an ERROR —
+    silently falling back to the latest snapshot would report results for
+    the wrong checkpoint."""
     if ckpt:
+        if not os.path.exists(ckpt) and (ckpt == "best" or ckpt.isdigit()):
+            ckpt = os.path.join(train_dir, "ckpt",
+                                f"model_step_{ckpt}.msgpack")
         if not os.path.exists(ckpt):
             raise FileNotFoundError(f"--ckpt {ckpt} does not exist")
         return ckpt

@@ -244,6 +244,7 @@ class TrainLoop:
         warmup_batches=None,
         preempt=True,
         lr_schedule=None,
+        best_metric: Optional[str] = None,
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -256,6 +257,15 @@ class TrainLoop:
         self.log_steps = log_steps
         self.validate_fn = validate_fn
         self.saver = saver
+        # best-checkpoint tracking on a validation metric (reference
+        # train_re.py:259-263); resumes from the sidecar so a restored
+        # run never regresses the saved best
+        self.best_metric = best_metric
+        self.best_value = None
+        if best_metric and saver is not None and hasattr(saver, "best_info"):
+            info = saver.best_info()
+            if info is not None:
+                self.best_value = float(info["value"])
         self.rng = default_prng_key(seed)
         self.profile_dir = profile_dir
         self.profile_steps = _clamp_profile(profile_steps, num_train_steps)
@@ -438,6 +448,14 @@ class TrainLoop:
                         TB_LOGGER.log_scalar_dict(
                             {f"valid/{k}": v for k, v in logs.items()},
                             step=global_step)
+                    if (self.best_metric and logs
+                            and self.best_metric in logs
+                            and self.saver is not None
+                            and hasattr(self.saver, "save_best")):
+                        v = float(logs[self.best_metric])
+                        if self.best_value is None or v > self.best_value:
+                            self.best_value = v
+                            self.saver.save_best(global_step, state, v)
                 if self.saver is not None:
                     # async: overlap disk write/finalize with training
                     self.saver.save(global_step, state, block=False)

@@ -91,14 +91,7 @@ class TrainStateSaver:
             return np.asarray(
                 multihost_utils.process_allgather(x, tiled=True))
 
-        # --param_dtype bfloat16 stores params bf16 with fp32 masters in
-        # the optimizer state; the weights-only export ships the masters
-        # (full precision — the inference surface expects fp32 weights)
-        export_params = state.params
-        master = getattr(state.opt_state, "master", None)
-        if master is not None:
-            export_params = master
-        host_params = jax.tree.map(to_host, export_params)
+        host_params = self._host_params(state)
         path = os.path.join(self.dir, f"model_step_{step}.msgpack")
         if jax.process_index() != 0:
             # every host joined the gather above (collective); only one
@@ -114,6 +107,56 @@ class TrainStateSaver:
                 target=self._export, args=(path, host_params), daemon=False)
             t.start()
             self._export_thread = t
+
+    def _host_params(self, state):
+        """Weights as host numpy arrays (collective across hosts).
+
+        --param_dtype bfloat16 stores params bf16 with fp32 masters in
+        the optimizer state; exports ship the masters (full precision —
+        the inference surface expects fp32 weights)."""
+        import jax
+        import numpy as np
+
+        def to_host(x):
+            # FSDP/multi-host shards are not fully addressable here;
+            # reassemble the global array before serializing
+            if getattr(x, "is_fully_addressable", True):
+                return np.asarray(x)
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+
+        export_params = state.params
+        master = getattr(state.opt_state, "master", None)
+        if master is not None:
+            export_params = master
+        return jax.tree.map(to_host, export_params)
+
+    def save_best(self, step: int, state, value: float):
+        """Weights-only ``model_step_best.msgpack`` + a sidecar json
+        recording which step/metric it is (the reference's
+        ``model_saver.save(model, 'best')``, train_re.py:259-263; the
+        sidecar lets a resumed run keep comparing against the saved best
+        rather than restarting the max)."""
+        import jax
+
+        host_params = self._host_params(state)  # collective: all hosts
+        if jax.process_index() != 0:
+            return
+        self.wait()  # don't race a pending async export thread
+        save_params_msgpack(
+            os.path.join(self.dir, "model_step_best.msgpack"), host_params)
+        with open(os.path.join(self.dir, "model_step_best.json"), "w") as f:
+            json.dump({"step": int(step), "value": float(value)}, f)
+        LOGGER.info("new best checkpoint at step %d (%.4f)", step, value)
+
+    def best_info(self) -> Optional[dict]:
+        path = os.path.join(self.dir, "model_step_best.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def _export(self, path, host_params):
         try:
