@@ -24,7 +24,21 @@ from uniter_tpu.utils.logger import LOGGER
 
 
 def main(opts):
-    hps, model_json = infer.load_train_meta(opts.train_dir)
+    if opts.train_dir:
+        hps, model_json = infer.load_train_meta(opts.train_dir)
+    else:
+        # zero-shot: no training run exists — model architecture comes
+        # from --model_config and db thresholds from the CLI (the
+        # reference's --model_config/--train_config path, inf_itm.py:41-59)
+        if not (opts.model_config and opts.ckpt):
+            raise SystemExit(
+                "zero-shot inference (no --train_dir) needs "
+                "--model_config and --ckpt")
+        with open(opts.model_config) as f:
+            model_json = json.load(f)
+        hps = argparse.Namespace(
+            conf_th=opts.conf_th, max_bb=opts.max_bb, min_bb=opts.min_bb,
+            num_bb=opts.num_bb, compressed_db=opts.compressed_db)
     cfg = infer.model_config_from_meta(
         model_json, dtype=opts.dtype,
         attention_impl=getattr(hps, "attention_impl", "xla"))
@@ -108,8 +122,19 @@ def get_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--txt_db", required=True)
     parser.add_argument("--img_db", required=True)
-    parser.add_argument("--train_dir", required=True)
+    parser.add_argument("--train_dir", default=None,
+                        help="training output dir; omit for zero-shot "
+                             "eval of a pretrained .pt (then pass "
+                             "--model_config + --ckpt, reference "
+                             "inf_itm.py:41-59)")
     parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--model_config", default=None,
+                        help="model json for zero-shot (no --train_dir)")
+    parser.add_argument("--conf_th", type=float, default=0.2)
+    parser.add_argument("--max_bb", type=int, default=100)
+    parser.add_argument("--min_bb", type=int, default=10)
+    parser.add_argument("--num_bb", type=int, default=36)
+    parser.add_argument("--compressed_db", action="store_true")
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--batch_size", type=int, default=400)
     parser.add_argument("--txt_bucket", type=int, default=64)

@@ -183,6 +183,60 @@ def test_train_itm_e2e(itm_env):
     assert int(state.step) == 2
 
 
+def test_inf_itm_e2e_and_zero_shot(itm_env):
+    """inf_itm end to end: trained-checkpoint scoring (fast == batched
+    impl), artifacts, and the zero-shot path (no --train_dir: pretrained
+    .pt + --model_config, rank head seeded from the ITM head — reference
+    inf_itm.py:41-61)."""
+    import inf_itm
+    import train_itm
+    from uniter_tpu.utils.misc import parse_with_config
+
+    out = itm_env["root"] + "/itm_out"
+    argv = [
+        "--train_txt_db", itm_env["txt"], "--train_img_db", itm_env["img"],
+        "--val_txt_db", itm_env["txt"], "--val_img_db", itm_env["img"],
+        "--model_config", itm_env["cfg"], "--output_dir", out,
+        "--train_batch_size", "512", "--num_train_steps", "2",
+        "--valid_steps", "2", "--warmup_steps", "1",
+        "--max_bb", "8", "--min_bb", "3", "--inf_minibatch_size", "8",
+        "--dtype", "float32", "--seed", "1",
+    ]
+    train_itm.main(parse_with_config(train_itm.get_parser(), argv))
+
+    common = [
+        "--txt_db", itm_env["txt"], "--img_db", itm_env["img"],
+        "--batch_size", "8", "--txt_bucket", "16", "--img_bucket", "8",
+        "--txt_tile", "8", "--img_tile", "8", "--dtype", "float32",
+    ]
+    logs = inf_itm.main(inf_itm.get_parser().parse_args(
+        common + ["--train_dir", out,
+                  "--output_dir", itm_env["root"] + "/itm_inf"]))
+    assert {"txt_r1", "img_r1"} <= set(logs) or len(logs) >= 4
+    mat = np.load(itm_env["root"] + "/itm_inf/score_matrix.npz")
+    assert mat["score_matrix"].shape == (16, 8)
+
+    logs_b = inf_itm.main(inf_itm.get_parser().parse_args(
+        common + ["--train_dir", out, "--eval_impl", "batched",
+                  "--output_dir", itm_env["root"] + "/itm_inf_b"]))
+    for k, v in logs.items():
+        assert abs(v - logs_b[k]) < 1e-4, (k, v, logs_b[k])
+
+    # zero-shot: synthetic released-format .pt, no training dir
+    import torch
+
+    from tests.test_pt_checkpoint_load import make_reference_state_dict
+
+    pt = itm_env["root"] + "/uniter-tiny.pt"
+    torch.save(make_reference_state_dict(vocab=300, h=48, layers=2,
+                                         heads=4, ff=96), pt)
+    zlogs = inf_itm.main(inf_itm.get_parser().parse_args(
+        common + ["--ckpt", pt, "--model_config", itm_env["cfg"],
+                  "--max_bb", "8", "--min_bb", "3",
+                  "--output_dir", itm_env["root"] + "/itm_zs"]))
+    assert set(zlogs) == set(logs)
+
+
 def test_train_itm_hard_negatives_e2e(itm_env):
     import train_itm_hard_negatives as hn
     from uniter_tpu.utils.misc import parse_with_config
