@@ -59,24 +59,16 @@ def main(opts):
         "params"]
     if opts.ckpt and opts.ckpt.endswith(".pt"):
         # zero-shot: pretrained checkpoint + rank head seeded from the ITM
-        # head's match row (reference inf_itm.py:60-61)
+        # head's match row (reference inf_itm.py:60-61) — one normalized
+        # load (state_dict unwrap, fp16->fp32) shared with train_itm
         from types import SimpleNamespace
 
-        from uniter_tpu.models.itm import init_rank_output_from_itm
+        from uniter_tpu.models.itm import seed_rank_head
         from uniter_tpu.training import driver
 
         params = driver.load_trunk_checkpoint(
-            params, SimpleNamespace(checkpoint=opts.ckpt), cfg)
-        import torch  # itm head lives beside the trunk in the .pt
-
-        sd = {k: v for k, v in torch.load(
-            opts.ckpt, map_location="cpu", weights_only=True).items()}
-        if "itm_output.weight" in sd:
-            params["itm_output"]["kernel"] = jnp.asarray(
-                np.ascontiguousarray(sd["itm_output.weight"].numpy().T))
-            params["itm_output"]["bias"] = jnp.asarray(
-                sd["itm_output.bias"].numpy())
-        params = init_rank_output_from_itm(params)
+            params, SimpleNamespace(checkpoint=opts.ckpt), cfg,
+            extra_map=seed_rank_head)
     else:
         params = infer.load_params(
             infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)

@@ -47,9 +47,19 @@ def main(opts):
     # refcoco_val.db:refcoco_testA.db:refcoco_testB.db)
     splits = [p for p in opts.txt_db.split(":") if p]
     feat = "gt" if opts.use_gt_feat else "det"
+
+    def split_name(p):
+        base = os.path.basename(os.path.normpath(p))
+        return base[:-3] if base.endswith(".db") else base
+
+    names = [split_name(p) for p in splits]
+    if len(set(names)) != len(names):
+        # distinct split paths with colliding basenames would silently
+        # overwrite each other's results files — disambiguate by index
+        names = [f"{n}{i}" for i, n in enumerate(names)]
     params = None
     tot_correct, tot_ex = 0, 0
-    for txt_path in splits:
+    for txt_path, sname in zip(splits, names):
         txt_db = ReTxtTokDb(txt_path, max_txt_len=-1)
         ds = ReEvalDataset(txt_db, img_db, use_gt_feat=opts.use_gt_feat,
                            **shard_kw())
@@ -97,17 +107,14 @@ def main(opts):
         # names the file by db basename like the reference's
         # results_*_{split}_on_{img_dir} convention (inf_re.py:106-109)
         name = (f"results_{feat}.json" if len(splits) == 1 else
-                "results_{}_{}.json".format(
-                    os.path.basename(os.path.normpath(txt_path))
-                    .split(".")[0], feat))
+                f"results_{sname}_{feat}.json")
         if process_index() == 0:
             os.makedirs(opts.output_dir, exist_ok=True)
             with open(os.path.join(opts.output_dir, name), "w") as f:
                 json.dump({"acc": acc, "n_ex": n_ex,
                            "predictions": predictions}, f)
         LOGGER.info("RE %s %s-feature accuracy: %.4f (%d ex)",
-                    os.path.basename(os.path.normpath(txt_path)), feat,
-                    acc, n_ex)
+                    sname, feat, acc, n_ex)
     return tot_correct / max(tot_ex, 1)
 
 

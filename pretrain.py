@@ -287,9 +287,9 @@ def get_parser():
     parser.add_argument("--itm_neg_prob", type=float, default=0.5)
     parser.add_argument("--itm_ot_lambda", type=float, default=0.1)
     parser.add_argument("--uncompressed_db", action="store_true",
-                        help="deprecated no-op: uncompressed is the "
-                             "default (reference parity); use "
-                             "--compressed_db to opt in")
+                        help="deprecated: uncompressed is already the "
+                             "default (reference parity); when given it "
+                             "takes precedence over --compressed_db")
     parser.set_defaults(learning_rate=5e-5, num_train_steps=200000,
                         warmup_steps=10000, train_batch_size=10240,
                         max_txt_len=60)

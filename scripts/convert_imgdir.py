@@ -68,5 +68,7 @@ if __name__ == "__main__":
                              "default matches the released uncompressed "
                              "msgpack DBs)")
     parser.add_argument("--uncompressed", action="store_true",
-                        help="deprecated no-op: uncompressed is the default")
+                        help="deprecated: uncompressed is already the "
+                             "default; when given it takes precedence "
+                             "over --compress")
     main(parser.parse_args())

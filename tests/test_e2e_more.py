@@ -125,10 +125,12 @@ def test_train_re_e2e(tmp_path):
     ])
     macc = inf_re.main(margv)
     assert abs(macc - acc) < 1e-9
+    # same basename twice -> index-disambiguated files, one per split
     split = os.path.basename(os.path.normpath(txt_dir))
-    mres = json.load(open(
-        str(tmp_path / "reinf_multi") + f"/results_{split}_gt.json"))
-    assert mres["n_ex"] == 8 and abs(mres["acc"] - acc) < 1e-9
+    for i in range(2):
+        mres = json.load(open(
+            str(tmp_path / "reinf_multi") + f"/results_{split}{i}_gt.json"))
+        assert mres["n_ex"] == 8 and abs(mres["acc"] - acc) < 1e-9
 
 
 @pytest.fixture()

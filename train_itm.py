@@ -16,9 +16,7 @@ import numpy as np
 from uniter_tpu.data.itm import ItmRankDataset, ItmValDataset
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.txt_db import TxtTokDb
-from uniter_tpu.models.itm import (
-    UniterForImageTextRetrieval, init_rank_output_from_itm,
-)
+from uniter_tpu.models.itm import UniterForImageTextRetrieval, seed_rank_head
 from uniter_tpu.training import driver
 from uniter_tpu.utils.const import IMG_DIM
 from uniter_tpu.utils.itm_eval import inference_score_matrix, itm_eval
@@ -32,15 +30,6 @@ def build_model_and_params(opts, rng):
         cfg, img_dim=IMG_DIM, margin=opts.margin)
     init_batch = driver.make_init_batch()
     params = model.init({"params": rng}, init_batch, False)["params"]
-
-    def seed_rank_head(params, sd):
-        # itm_output comes from the checkpoint when present; then copy row 1
-        # into rank_output (reference itm.py:25-28, train_itm.py init_output)
-        if "itm_output.weight" in sd:
-            params["itm_output"]["kernel"] = jnp.asarray(
-                np.ascontiguousarray(sd["itm_output.weight"].T))
-            params["itm_output"]["bias"] = jnp.asarray(sd["itm_output.bias"])
-        return init_rank_output_from_itm(params)
 
     params = driver.load_trunk_checkpoint(
         params, opts, cfg, extra_map=seed_rank_head)

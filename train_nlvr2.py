@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uniter_tpu.data.img_db import DetectFeatDb
 from uniter_tpu.data.loader import BucketLoader
 from uniter_tpu.data.nlvr2 import Nlvr2PairedDataset, Nlvr2TripletDataset
 from uniter_tpu.data.txt_db import TxtTokDb
@@ -26,9 +25,8 @@ from uniter_tpu.utils.misc import parse_with_config
 
 def build_dataset(txt_path, img_path, opts, is_train):
     txt_db = TxtTokDb(txt_path, max_txt_len=opts.max_txt_len)
-    img_db = DetectFeatDb(
-        img_path, conf_th=opts.conf_th, max_bb=opts.max_bb,
-        min_bb=opts.min_bb, num_bb=opts.num_bb)
+    # open_img_db resolves --compressed_db and the gt-DB conventions
+    img_db = driver.open_img_db(img_path, opts)
     cls = (Nlvr2PairedDataset if opts.model in ("paired", "paired-attn")
            else Nlvr2TripletDataset)
     del is_train  # sharding lives in the train loader (global plan)

@@ -108,3 +108,16 @@ def init_rank_output_from_itm(params):
     params["rank_output"]["kernel"] = jnp.asarray(itm_k[:, 1:2])
     params["rank_output"]["bias"] = jnp.asarray(itm_b[1:2])
     return params
+
+
+def seed_rank_head(params, sd):
+    """``extra_map`` for load_trunk_checkpoint: itm_output comes from the
+    (normalized) checkpoint when present, then rank_output is seeded from
+    its match row (reference itm.py:25-28; the zero-shot path
+    inf_itm.py:60-61). Shared by train_itm and zero-shot inf_itm."""
+    if "itm_output.weight" in sd:
+        params["itm_output"]["kernel"] = jnp.asarray(
+            np.ascontiguousarray(np.asarray(sd["itm_output.weight"]).T))
+        params["itm_output"]["bias"] = jnp.asarray(
+            np.asarray(sd["itm_output.bias"]))
+    return init_rank_output_from_itm(params)

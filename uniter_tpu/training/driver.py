@@ -382,9 +382,16 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
                         fsdp_min_size=getattr(opts, "fsdp_min_size", 2 ** 16))
     saver = TrainStateSaver(opts.output_dir)
     restored = saver.restore(state)
+    best_value = None
     if restored is not None:
         state = restored
         LOGGER.info("resumed from step %d", int(state.step))
+        # only a genuine resume carries the saved best forward; a fresh
+        # run in a reused output_dir starts its own max from scratch
+        if best_metric:
+            info = saver.best_info()
+            if info is not None:
+                best_value = float(info["value"])
     ds = getattr(train_loader, "dataset", None)
     if ds is not None:
         check_token_range(model.config, ds)
@@ -408,7 +415,7 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
                     else opts.wire_codec),
         steps_per_call=getattr(opts, "steps_per_call", 1),
         warmup_batches=warmup, lr_schedule=sched, loss_scale=loss_scale,
-        best_metric=best_metric)
+        best_metric=best_metric, best_value=best_value)
     state = loop.run()
     LOGGER.info("training finished at step %d", int(state.step))
     if best_metric and loop.best_value is not None:

@@ -45,11 +45,16 @@ def resolve_ckpt(train_dir: str, ckpt: Optional[str] = None) -> str:
     the wrong checkpoint."""
     if ckpt:
         if not os.path.exists(ckpt) and (ckpt == "best" or ckpt.isdigit()):
+            if not train_dir:
+                raise FileNotFoundError(
+                    f"--ckpt {ckpt} needs --train_dir to resolve")
             ckpt = os.path.join(train_dir, "ckpt",
                                 f"model_step_{ckpt}.msgpack")
         if not os.path.exists(ckpt):
             raise FileNotFoundError(f"--ckpt {ckpt} does not exist")
         return ckpt
+    if not train_dir:
+        raise FileNotFoundError("no --train_dir and no --ckpt given")
     import re
 
     d = os.path.join(train_dir, "ckpt")

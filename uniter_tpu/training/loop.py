@@ -245,6 +245,7 @@ class TrainLoop:
         preempt=True,
         lr_schedule=None,
         best_metric: Optional[str] = None,
+        best_value: Optional[float] = None,
     ):
         self.loss_fn = loss_fn
         self.state = state
@@ -258,14 +259,12 @@ class TrainLoop:
         self.validate_fn = validate_fn
         self.saver = saver
         # best-checkpoint tracking on a validation metric (reference
-        # train_re.py:259-263); resumes from the sidecar so a restored
-        # run never regresses the saved best
+        # train_re.py:259-263). best_value seeds the running max — a
+        # RESUMED run passes the sidecar value so it never regresses the
+        # saved best; a fresh run must pass None (stale best files in a
+        # reused output_dir would otherwise suppress the new run's best)
         self.best_metric = best_metric
-        self.best_value = None
-        if best_metric and saver is not None and hasattr(saver, "best_info"):
-            info = saver.best_info()
-            if info is not None:
-                self.best_value = float(info["value"])
+        self.best_value = best_value
         self.rng = default_prng_key(seed)
         self.profile_dir = profile_dir
         self.profile_steps = _clamp_profile(profile_steps, num_train_steps)
@@ -442,6 +441,7 @@ class TrainLoop:
             if self.valid_steps and _crossed(global_step, self.k,
                                              self.valid_steps):
                 flush()
+                improved = None
                 if self.validate_fn is not None:
                     logs = self.validate_fn(state, global_step)
                     if logs:
@@ -451,14 +451,17 @@ class TrainLoop:
                     if (self.best_metric and logs
                             and self.best_metric in logs
                             and self.saver is not None
-                            and hasattr(self.saver, "save_best")):
+                            and hasattr(self.saver, "best_info")):
                         v = float(logs[self.best_metric])
                         if self.best_value is None or v > self.best_value:
-                            self.best_value = v
-                            self.saver.save_best(global_step, state, v)
+                            self.best_value = improved = v
                 if self.saver is not None:
-                    # async: overlap disk write/finalize with training
-                    self.saver.save(global_step, state, block=False)
+                    # async: overlap disk write/finalize with training;
+                    # a val-metric improvement rides the same host
+                    # snapshot as model_step_best (no second gather)
+                    kw = {"best_value": improved} if improved is not None \
+                        else {}
+                    self.saver.save(global_step, state, block=False, **kw)
                     last_saved = global_step
             if self.preempt is not None and self.preempt.poll(
                     sync=_crossed(global_step, self.k,

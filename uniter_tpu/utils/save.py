@@ -55,7 +55,8 @@ class TrainStateSaver:
                 max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, step: int, state, block: bool = True):
+    def save(self, step: int, state, block: bool = True,
+             best_value: Optional[float] = None):
         """Checkpoint the full train state + a weights-only export.
 
         ``block=False`` overlaps the disk write/finalize with training:
@@ -64,11 +65,15 @@ class TrainStateSaver:
         writes in the background; the msgpack export similarly snapshots
         to host here and writes from a thread. Readers (``restore``,
         ``latest_*``) and the next ``save`` wait for the pending save.
+
+        ``best_value``: also write ``model_step_best.msgpack`` (+ sidecar
+        json) from the SAME host snapshot — the reference's
+        ``model_saver.save(model, 'best')`` (train_re.py:259-263) without
+        a second device->host gather.
         """
         import threading
 
         import jax
-        import numpy as np
         import orbax.checkpoint as ocp
 
         self.wait()
@@ -81,16 +86,6 @@ class TrainStateSaver:
         # weights-only export for inference (the reference's
         # model_step_{N}.pt analog, utils/save.py:57-69); host snapshot
         # taken NOW (donation safety), disk write deferred when async
-        def to_host(x):
-            # FSDP/multi-host shards are not fully addressable here;
-            # reassemble the global array before serializing
-            if getattr(x, "is_fully_addressable", True):
-                return np.asarray(x)
-            from jax.experimental import multihost_utils
-
-            return np.asarray(
-                multihost_utils.process_allgather(x, tiled=True))
-
         host_params = self._host_params(state)
         path = os.path.join(self.dir, f"model_step_{step}.msgpack")
         if jax.process_index() != 0:
@@ -101,10 +96,11 @@ class TrainStateSaver:
             return
         if block:
             self.mngr.wait_until_finished()
-            save_params_msgpack(path, host_params)
+            self._write_exports(path, host_params, step, best_value)
         else:
             t = threading.Thread(
-                target=self._export, args=(path, host_params), daemon=False)
+                target=self._export,
+                args=(path, host_params, step, best_value), daemon=False)
             t.start()
             self._export_thread = t
 
@@ -133,24 +129,6 @@ class TrainStateSaver:
             export_params = master
         return jax.tree.map(to_host, export_params)
 
-    def save_best(self, step: int, state, value: float):
-        """Weights-only ``model_step_best.msgpack`` + a sidecar json
-        recording which step/metric it is (the reference's
-        ``model_saver.save(model, 'best')``, train_re.py:259-263; the
-        sidecar lets a resumed run keep comparing against the saved best
-        rather than restarting the max)."""
-        import jax
-
-        host_params = self._host_params(state)  # collective: all hosts
-        if jax.process_index() != 0:
-            return
-        self.wait()  # don't race a pending async export thread
-        save_params_msgpack(
-            os.path.join(self.dir, "model_step_best.msgpack"), host_params)
-        with open(os.path.join(self.dir, "model_step_best.json"), "w") as f:
-            json.dump({"step": int(step), "value": float(value)}, f)
-        LOGGER.info("new best checkpoint at step %d (%.4f)", step, value)
-
     def best_info(self) -> Optional[dict]:
         path = os.path.join(self.dir, "model_step_best.json")
         if not os.path.exists(path):
@@ -158,9 +136,22 @@ class TrainStateSaver:
         with open(path) as f:
             return json.load(f)
 
-    def _export(self, path, host_params):
+    def _write_exports(self, path, host_params, step, best_value):
+        save_params_msgpack(path, host_params)
+        if best_value is not None:
+            save_params_msgpack(
+                os.path.join(self.dir, "model_step_best.msgpack"),
+                host_params)
+            with open(os.path.join(self.dir, "model_step_best.json"),
+                      "w") as f:
+                json.dump({"step": int(step), "value": float(best_value)},
+                          f)
+            LOGGER.info("new best checkpoint at step %d (%.4f)",
+                        step, best_value)
+
+    def _export(self, path, host_params, step=None, best_value=None):
         try:
-            save_params_msgpack(path, host_params)
+            self._write_exports(path, host_params, step, best_value)
         except BaseException as e:  # re-raised by wait()
             self._export_error = e
 
