@@ -49,14 +49,34 @@ CONFIGS_R5 = [
     dict(name="parambf16_B96_k32", B=96, T=64, R=40, k=32, param_bf16=True),
     dict(name="fp32param_B96_k32_rep", B=96, T=64, R=40, k=32),
 ]
+CONFIGS_R6 = [
+    # untried corners after the k=32 fold-in: deeper step chaining,
+    # the S=112 half-step bucket, and the B=104 row-count neighbor
+    dict(name="k32_B96_S104_ctl", B=96, T=64, R=40, k=32),
+    dict(name="k64_B96_S104", B=96, T=64, R=40, k=64),
+    dict(name="S112_B96", B=96, T=64, R=48, k=32),
+    dict(name="B104_S104", B=104, T=64, R=40, k=32),
+]
+CONFIGS_R7 = [
+    # pre-block-fusion negatives re-measured post-fusion (the fusion
+    # changed the balance: XLA attn's relative cost grew, so these may
+    # have flipped): Pallas fused FFN (was 1554 vs 1608) and fused QKV
+    # (was 1549 vs 1604)
+    dict(name="ctl_B96_k32", B=96, T=64, R=40, k=32),
+    dict(name="ffn_pallas", B=96, T=64, R=40, k=32, ffn_impl="pallas"),
+    dict(name="fused_qkv", B=96, T=64, R=40, k=32, fused_qkv=True),
+    dict(name="ffn_pallas_fused_qkv", B=96, T=64, R=40, k=32,
+         ffn_impl="pallas", fused_qkv=True),
+]
 import os as _os
 CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3, "4": CONFIGS_R4,
-           "5": CONFIGS_R5}.get(_os.environ.get("SWEEP_ROUND", "1"),
-                                CONFIGS_R1)
+           "5": CONFIGS_R5, "6": CONFIGS_R6, "7": CONFIGS_R7}.get(
+               _os.environ.get("SWEEP_ROUND", "1"), CONFIGS_R1)
 
 
 def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
-            large=False, param_bf16=False):
+            large=False, param_bf16=False, ffn_impl="xla",
+            fused_qkv=False):
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +87,8 @@ def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
     from uniter_tpu.training.step import TrainState, make_train_step
 
     kw = dict(dtype="bfloat16", attention_impl=attention_impl,
-              scan_unroll=24 if large else 12, block_fusion="pallas")
+              scan_unroll=24 if large else 12, block_fusion="pallas",
+              ffn_impl=ffn_impl, fused_qkv=fused_qkv)
     if dropout is not None:
         kw.update(hidden_dropout_prob=dropout,
                   attention_probs_dropout_prob=dropout)

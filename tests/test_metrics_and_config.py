@@ -200,3 +200,19 @@ def test_check_token_range_catches_missing_widening():
     # nested per-choice lists (VCR-style records)
     with _pytest.raises(ValueError, match="vocab_size"):
         check_token_range(cfg, Ds([[1, 2], [700]]))
+
+
+def test_train_ve_alias_wiring():
+    # train_ve is deliberately the VQA driver with VE defaults (reference
+    # train_ve.py reuses model/ve.py == UniterForVisualQuestionAnswering
+    # with 3 answers); guard the alias so a vqa-parser change can't
+    # silently break the VE recipe.
+    import train_ve
+    import train_vqa
+
+    assert train_ve.main is train_vqa.main
+    opts = train_ve.get_parser().parse_args([])
+    assert opts.num_answer == 3
+    assert opts.learning_rate == 8e-5
+    assert opts.num_train_steps == 4000
+    assert opts.warmup_steps == 400
