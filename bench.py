@@ -80,10 +80,12 @@ def main():
             return jnp.mean(per_elem) * 3129, {}
 
         # measure the recommended throughput configuration: 32 optimizer
-        # steps per jit call (--steps_per_call 32; amortizes per-step
-        # dispatch via the remote relay — r3 sweep: k=32 is a consistent
-        # +0.5% over k=16, 1912-1916 vs 1905-1907 ex/s)
-        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "32"))
+        # steps per jit call (--steps_per_call 64; amortizes per-step
+        # dispatch via the remote relay — r3 sweep: k=32 +0.5% over k=16
+        # (1912-1916 vs 1905-1907), k=64 +0.4% more (1923.1/1923.8 twice
+        # confirmed), k=128 collapses (1706 — k-stacked batch broadcast
+        # blows past what fits close to the cores)
+        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "64"))
         step = make_train_step(loss_fn, loss_scale="mean",
                                steps_per_call=k)
         if k > 1:

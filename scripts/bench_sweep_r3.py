@@ -68,15 +68,23 @@ CONFIGS_R7 = [
     dict(name="ffn_pallas_fused_qkv", B=96, T=64, R=40, k=32,
          ffn_impl="pallas", fused_qkv=True),
 ]
+CONFIGS_R8 = [
+    # batch-blocked attention grid: bc batch elements per kernel step
+    # (amortizes grid overhead, enlarges MXU batched GEMMs)
+    dict(name="attn_bb2", B=96, T=64, R=40, k=32, attn_bb=2),
+    dict(name="attn_bb4", B=96, T=64, R=40, k=32, attn_bb=4),
+    dict(name="attn_bb8", B=96, T=64, R=40, k=32, attn_bb=8),
+]
 import os as _os
 CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3, "4": CONFIGS_R4,
-           "5": CONFIGS_R5, "6": CONFIGS_R6, "7": CONFIGS_R7}.get(
+           "5": CONFIGS_R5, "6": CONFIGS_R6, "7": CONFIGS_R7,
+           "8": CONFIGS_R8}.get(
                _os.environ.get("SWEEP_ROUND", "1"), CONFIGS_R1)
 
 
 def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
             large=False, param_bf16=False, ffn_impl="xla",
-            fused_qkv=False):
+            fused_qkv=False, attn_bb=1):
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +96,8 @@ def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
 
     kw = dict(dtype="bfloat16", attention_impl=attention_impl,
               scan_unroll=24 if large else 12, block_fusion="pallas",
-              ffn_impl=ffn_impl, fused_qkv=fused_qkv)
+              ffn_impl=ffn_impl, fused_qkv=fused_qkv,
+              attn_batch_block=attn_bb)
     if dropout is not None:
         kw.update(hidden_dropout_prob=dropout,
                   attention_probs_dropout_prob=dropout)

@@ -16,8 +16,11 @@ def interpret_mode(monkeypatch):
     monkeypatch.setenv("UNITER_PALLAS_INTERPRET", "1")
 
 
-@pytest.mark.parametrize("impl", ["pallas", "pallas_nt"])
-def test_attention_kernel_interpret(impl):
+@pytest.mark.parametrize("impl,bb", [("pallas", 1), ("pallas", 2),
+                                     ("pallas", 3), ("pallas_nt", 1),
+                                     ("pallas_nt", 2)])
+def test_attention_kernel_interpret(impl, bb):
+    # bb=2 divides B; bb=3 does not and must clamp to the bb=1 behavior
     from uniter_tpu.ops.attention import multi_head_attention
 
     B, S, H, D = 2, 16, 4, 8
@@ -26,12 +29,13 @@ def test_attention_kernel_interpret(impl):
     k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
     v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
     bias = jnp.zeros((B, S), jnp.float32).at[:, 12:].set(-10000.0)
-    out_p = np.asarray(multi_head_attention(q, k, v, bias, impl=impl))
+    out_p = np.asarray(multi_head_attention(q, k, v, bias, impl=impl,
+                                            batch_block=bb))
     out_x = np.asarray(multi_head_attention(q, k, v, bias, impl="xla"))
     np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
 
     gp = jax.grad(lambda q, k, v: jnp.sum(
-        multi_head_attention(q, k, v, bias, impl=impl) ** 2),
+        multi_head_attention(q, k, v, bias, impl=impl, batch_block=bb) ** 2),
         argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(lambda q, k, v: jnp.sum(
         multi_head_attention(q, k, v, bias, impl="xla") ** 2),

@@ -42,6 +42,10 @@ class UniterConfig:
     dtype: str = "bfloat16"
     # Attention implementation: "pallas" (fused TPU kernel) or "xla".
     attention_impl: str = "xla"
+    # Batch elements per attention-kernel grid step (divisor of B; auto-
+    # clamped so the block still fits VMEM with ALL heads batched). >1
+    # amortizes grid overhead and enlarges the MXU's batched GEMMs.
+    attn_batch_block: int = 1
     # FFN implementation: "pallas" (fused matmul-gelu-matmul, intermediate
     # never leaves VMEM) or "xla".
     ffn_impl: str = "xla"

@@ -298,6 +298,7 @@ class BertAttention(nn.Module):
             dropout_rate=cfg.attention_probs_dropout_prob,
             dropout_rng=rng,
             impl=cfg.attention_impl,
+            batch_block=cfg.attn_batch_block,
         ).reshape(b, s, cfg.hidden_size)
         out = Dense(cfg, cfg.hidden_size, name="output_dense")(ctx)
         return DropResLN(cfg, cfg.hidden_dropout_prob,

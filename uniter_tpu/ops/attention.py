@@ -60,19 +60,27 @@ def _mha_xla(q, k, v, bias, dropout_rate=0.0, dropout_rng=None):
 
 
 def _attn_probs(q_ref, k_ref, bias_ref, *, sm_scale, native=False):
-    """Head-batched scores: one MXU batched-matmul per batch element
-    (grid is (B,); heads ride the dot_general batch dim so Mosaic pipelines
-    them instead of paying per-(b,h) grid overhead)."""
-    q = _ld(q_ref, native)  # [H, S, D]
+    """Batch/head-blocked scores: one MXU batched-matmul per grid step
+    (grid is (B/bc, H/hc); heads AND a bc-chunk of batch elements are
+    merged into the single dot_general batch dim Mosaic supports —
+    tpu.matmul allows at most one — so Mosaic pipelines them instead of
+    paying per-(b,h) grid overhead). Returns merged [bc*hc, S, S]."""
+    q = _ld(q_ref, native)  # [bc*hc, S, D]
     k = _ld(k_ref, native)
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [H, S, S]
-    s = s * sm_scale + bias_ref[0].astype(jnp.float32)[None, :, :]
+    )  # [bc*hc, Sq, Sk]
+    bias = bias_ref[...].astype(jnp.float32)  # [bc, 1, Sk]
+    bc = bias.shape[0]
+    n, sq, sk = s.shape
+    # bias is per batch element: add in a (bc, hc, Sq, Sk) view (leading-dim
+    # reshapes are layout-free; tiling lives in the last two dims)
+    s = s.reshape(bc, n // bc, sq, sk) * sm_scale + bias[:, :, None, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    return p.reshape(n, sq, sk)
 
 
 def _dropout_bits(seed_ref, rate, shape):
@@ -87,17 +95,24 @@ def _dropout_bits(seed_ref, rate, shape):
 
 
 def _ld(ref, native):
-    """Load a head-chunk block as [hc, S, D]. In native layout the HBM array
-    is [B, S, H, D] (the projections' own layout — no HBM transpose kernels
-    around the pallas call) and the block arrives [S, hc, D]; the swap to
-    head-major happens here, in VMEM."""
-    x = ref[0]
-    return jnp.swapaxes(x, 0, 1) if native else x
+    """Load a block as merged [bc*hc, S, D]. In native layout the HBM
+    array is [B, S, H, D] (the projections' own layout — no HBM transpose
+    kernels around the pallas call) and the block arrives [bc, S, hc, D];
+    the swap to head-major happens here, in VMEM."""
+    x = ref[...]
+    if native:
+        x = jnp.swapaxes(x, 1, 2)
+    bc, hc, s, d = x.shape
+    return x.reshape(bc * hc, s, d)
 
 
 def _st(ref, x, native):
-    """Store a [hc, S, D] result back through the block's layout."""
-    ref[0] = jnp.swapaxes(x, 0, 1) if native else x
+    """Store a merged [bc*hc, S, D] result back through the block's
+    layout."""
+    bc = ref.shape[0]
+    hc = ref.shape[2] if native else ref.shape[1]
+    x = x.reshape(bc, hc, *x.shape[1:])
+    ref[...] = jnp.swapaxes(x, 1, 2) if native else x
 
 
 def _mha_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
@@ -120,7 +135,7 @@ def _mha_bwd_kernel(
     sm_scale, rate, native=False
 ):
     p = _attn_probs(q_ref, k_ref, bias_ref, sm_scale=sm_scale, native=native)
-    g = _ld(g_ref, native).astype(jnp.float32)  # [H, S, D]
+    g = _ld(g_ref, native).astype(jnp.float32)  # [bc*hc, S, D]
     v = _ld(v_ref, native).astype(jnp.float32)
     if rate > 0.0:
         keep = _dropout_bits(seed_ref, rate, p.shape)
@@ -136,60 +151,73 @@ def _mha_bwd_kernel(
     dp = jax.lax.dot_general(
         g, v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [H, S, S]
+    )  # [bc*hc, S, S]
     if keep is not None:
         dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax bwd
     ds = ds * sm_scale
     dq = jax.lax.dot_general(
-        ds, _ld(k_ref, native).astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        ds, _ld(k_ref, native).astype(jnp.float32),
+        (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
     _st(dq_ref, dq, native)
     dk = jax.lax.dot_general(
-        ds, _ld(q_ref, native).astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+        ds, _ld(q_ref, native).astype(jnp.float32),
+        (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
     _st(dk_ref, dk, native)
 
 
-def _head_chunk(h, s, d, n_bufs):
+def _head_chunk(h, s, d, n_bufs, bc=1):
     """Heads per grid step, fitting scores+blocks in a VMEM budget. At short
     S all heads batch into one step; at S=512 the [H,S,S] fp32 scores alone
-    would blow the ~16MB VMEM, so heads are chunked."""
+    would blow the ~16MB VMEM, so heads are chunked. bc batch elements per
+    step multiply the whole budget."""
     budget = 10 * 1024 * 1024
-    per_head = s * s * 4 * 2 + n_bufs * s * d * 2  # scores(+grad tmp) + blocks
+    per_head = bc * (s * s * 4 * 2 + n_bufs * s * d * 2)
     hc = max(1, min(h, budget // max(per_head, 1)))
     while h % hc:
         hc -= 1
     return hc
 
 
-def _bhsd_spec(hc, s, d):
+def _batch_block(b, h, s, d, n_bufs, requested):
+    """Largest divisor of B <= requested whose (bc, all-heads) block still
+    fits the VMEM budget (bigger MXU batches only pay off when heads are
+    NOT chunked down to compensate)."""
+    bc = max(1, min(b, requested))
+    while b % bc or (bc > 1 and _head_chunk(h, s, d, n_bufs, bc) < h):
+        bc -= 1
+    return bc
+
+
+def _bhsd_spec(bc, hc, s, d):
     # index_map receives (*grid_ids, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec — swallow the scalar ref.
     return pl.BlockSpec(
-        (1, hc, s, d), lambda b, j, *_: (b, j, 0, 0), memory_space=pltpu.VMEM
+        (bc, hc, s, d), lambda b, j, *_: (b, j, 0, 0), memory_space=pltpu.VMEM
     )
 
 
-def _bshd_spec(hc, s, d):
+def _bshd_spec(bc, hc, s, d):
     # native layout: the HBM array keeps the projections' [B, S, H, D]
     # shape; the head axis is still the grid's chunk axis.
     return pl.BlockSpec(
-        (1, s, hc, d), lambda b, j, *_: (b, 0, j, 0), memory_space=pltpu.VMEM
+        (bc, s, hc, d), lambda b, j, *_: (b, 0, j, 0), memory_space=pltpu.VMEM
     )
 
 
-def _bias_spec(s):
-    # bias arrives as [B, 1, S]; a (1, 1, S) block satisfies the TPU tiling
+def _bias_spec(bc, s):
+    # bias arrives as [B, 1, S]; a (bc, 1, S) block satisfies the TPU tiling
     # rule (trailing block dims equal to the array dims).
     return pl.BlockSpec(
-        (1, 1, s), lambda b, j, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        (bc, 1, s), lambda b, j, *_: (b, 0, 0), memory_space=pltpu.VMEM
     )
 
 
-def _mha_pallas_raw(q, k, v, bias, seed, rate, native=False):
+def _mha_pallas_raw(q, k, v, bias, seed, rate, native=False, bb=1):
     """q,k,v: [B, H, S, D] (or [B, S, H, D] when native); bias: [B, S]."""
     if native:
         b, s, h, d = q.shape
@@ -198,16 +226,17 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate, native=False):
         b, h, s, d = q.shape
         spec = _bhsd_spec
     bias = bias.reshape(b, 1, s)
-    # chunk size must MATCH the backward pass so dropout streams replay
-    hc = _head_chunk(h, s, d, n_bufs=7)
+    # chunk sizes must MATCH the backward pass so dropout streams replay
+    bc = _batch_block(b, h, s, d, n_bufs=7, requested=bb)
+    hc = _head_chunk(h, s, d, n_bufs=7, bc=bc)
     kernel = functools.partial(
         _mha_fwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate, native=native
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h // hc),
-        in_specs=[spec(hc, s, d)] * 3 + [_bias_spec(s)],
-        out_specs=spec(hc, s, d),
+        grid=(b // bc, h // hc),
+        in_specs=[spec(bc, hc, s, d)] * 3 + [_bias_spec(bc, s)],
+        out_specs=spec(bc, hc, s, d),
     )
     return pl.pallas_call(
         kernel,
@@ -217,7 +246,7 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate, native=False):
     )(seed, q, k, v, bias)
 
 
-def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native=False):
+def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native=False, bb=1):
     if native:
         b, s, h, d = q.shape
         spec = _bshd_spec
@@ -225,15 +254,17 @@ def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native=False):
         b, h, s, d = q.shape
         spec = _bhsd_spec
     bias = bias.reshape(b, 1, s)
-    hc = _head_chunk(h, s, d, n_bufs=7)
+    bc = _batch_block(b, h, s, d, n_bufs=7, requested=bb)
+    hc = _head_chunk(h, s, d, n_bufs=7, bc=bc)
     kernel = functools.partial(
         _mha_bwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate, native=native
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h // hc),
-        in_specs=[spec(hc, s, d)] * 3 + [_bias_spec(s), spec(hc, s, d)],
-        out_specs=[spec(hc, s, d)] * 3,
+        grid=(b // bc, h // hc),
+        in_specs=[spec(bc, hc, s, d)] * 3 + [_bias_spec(bc, s),
+                                             spec(bc, hc, s, d)],
+        out_specs=[spec(bc, hc, s, d)] * 3,
     )
     return pl.pallas_call(
         kernel,
@@ -243,19 +274,19 @@ def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native=False):
     )(seed, q, k, v, bias, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _mha_pallas(q, k, v, bias, seed, rate, native=False):
-    return _mha_pallas_raw(q, k, v, bias, seed, rate, native)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _mha_pallas(q, k, v, bias, seed, rate, native=False, bb=1):
+    return _mha_pallas_raw(q, k, v, bias, seed, rate, native, bb)
 
 
-def _mha_pallas_fwd(q, k, v, bias, seed, rate, native=False):
-    return (_mha_pallas_raw(q, k, v, bias, seed, rate, native),
+def _mha_pallas_fwd(q, k, v, bias, seed, rate, native=False, bb=1):
+    return (_mha_pallas_raw(q, k, v, bias, seed, rate, native, bb),
             (q, k, v, bias, seed))
 
 
-def _mha_pallas_bwd(rate, native, res, g):
+def _mha_pallas_bwd(rate, native, bb, res, g):
     q, k, v, bias, seed = res
-    dq, dk, dv = _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native)
+    dq, dk, dv = _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native, bb)
     return dq, dk, dv, None, None
 
 
@@ -276,6 +307,7 @@ def multi_head_attention(
     dropout_rate: float = 0.0,
     dropout_rng=None,
     impl: str = "xla",
+    batch_block: int = 1,
 ):
     """Fused MHA. q, k, v: [B, S, H, D]; bias: [B, S] additive (0 / -10000).
 
@@ -297,11 +329,11 @@ def multi_head_attention(
             # transpose kernels it replaces (which XLA largely fuses).
             # Kept as a documented negative result; do not default.
             return _mha_pallas(q, k, v, bias.astype(jnp.float32), seed, rate,
-                               True)
+                               True, int(batch_block))
         qt = jnp.transpose(q, (0, 2, 1, 3))
         kt = jnp.transpose(k, (0, 2, 1, 3))
         vt = jnp.transpose(v, (0, 2, 1, 3))
         out = _mha_pallas(qt, kt, vt, bias.astype(jnp.float32), seed, rate,
-                          False)
+                          False, int(batch_block))
         return jnp.transpose(out, (0, 2, 1, 3))
     return _mha_xla(q, k, v, bias, dropout_rate, dropout_rng)
