@@ -50,9 +50,13 @@ def main():
         # measured fastest on v5e (docs/PERF.md r2): fully-unrolled encoder,
         # fused Pallas attention, fused dropout+residual+LN block tails,
         # hardware RNG, fused AdamW with bf16 moments, 16 steps per call
+        # attn_batch_block=2: two batch elements per attention grid step
+        # (r3 sweep: 1927.6 vs 1915.5 ex/s; >=4 overflows VMEM)
         cfg = base_config(dtype="bfloat16", attention_impl=impl,
                           scan_unroll=12,
-                          block_fusion="none" if impl == "xla" else "pallas")
+                          block_fusion="none" if impl == "xla" else "pallas",
+                          attn_batch_block=int(os.environ.get(
+                              "UNITER_BENCH_ATTN_BB", "2")))
         model = UniterForVisualQuestionAnswering(cfg, img_dim=2048)
         rng = np.random.RandomState(0)
         batch = dict(

@@ -74,6 +74,8 @@ CONFIGS_R8 = [
     dict(name="attn_bb2", B=96, T=64, R=40, k=32, attn_bb=2),
     dict(name="attn_bb4", B=96, T=64, R=40, k=32, attn_bb=4),
     dict(name="attn_bb8", B=96, T=64, R=40, k=32, attn_bb=8),
+    # does the k=64 relay-dispatch win carry to uniter-large?
+    dict(name="large_B96_k64", B=96, T=64, R=40, k=64, large=True),
 ]
 import os as _os
 CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3, "4": CONFIGS_R4,

@@ -98,6 +98,10 @@ def add_common_args(parser: argparse.ArgumentParser):
                         choices=["auto", "none", "pallas"],
                         help="fuse each sub-block dropout+residual+LN tail "
                              "into one kernel (auto: on for accelerators)")
+    parser.add_argument("--attn_batch_block", type=int, default=0,
+                        help="batch elements per attention-kernel grid step "
+                             "(0 = auto: 2 on accelerators — measured +0.6% "
+                             "on v5e; >=4 overflows VMEM at base shapes)")
     parser.add_argument("--fp16", action="store_true",
                         help="accepted for config compat; bf16 is used")
     parser.add_argument("--n_workers", type=int, default=4)
@@ -278,8 +282,14 @@ def model_config_from_opts(opts, **overrides) -> UniterConfig:
 
     from uniter_tpu.config import resolve_kernel_policies
 
+    abb = int(getattr(opts, "attn_batch_block", 0) or 0)
     if jax.default_backend() != "cpu":
-        cfg = cfg.replace(scan_unroll=cfg.num_hidden_layers)
+        # bc=2 batch elements per attention grid step: +0.6% measured
+        # (1927.6 vs 1915.5 ex/s); the kernel clamps to a divisor of B
+        cfg = cfg.replace(scan_unroll=cfg.num_hidden_layers,
+                          attn_batch_block=abb or 2)
+    elif abb:
+        cfg = cfg.replace(attn_batch_block=abb)
     return resolve_kernel_policies(cfg)
 
 
