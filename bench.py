@@ -83,7 +83,7 @@ def main():
                 rngs={"dropout": r})
             return jnp.mean(per_elem) * 3129, {}
 
-        # measure the recommended throughput configuration: 32 optimizer
+        # measure the recommended throughput configuration: 64 optimizer
         # steps per jit call (--steps_per_call 64; amortizes per-step
         # dispatch via the remote relay — r3 sweep: k=32 +0.5% over k=16
         # (1912-1916 vs 1905-1907), k=64 +0.4% more (1923.1/1923.8 twice

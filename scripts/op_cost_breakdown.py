@@ -49,10 +49,10 @@ ONLY = os.environ.get("OPCOST_ONLY", "")  # comma-set: attn,proj,ffn,...
 
 
 def timed(fn, args, n_chain=None, n_calls=None):
-    n_chain = n_chain or N_CHAIN
-    n_calls = n_calls or N_CALLS
     """fn: (carry, *args) -> carry. Chains n_chain applications in one jit
     call via lax.scan; returns seconds per single application."""
+    n_chain = n_chain or N_CHAIN
+    n_calls = n_calls or N_CALLS
 
     @jax.jit
     def run(carry, *a):
@@ -84,7 +84,7 @@ def rec(name, sec, per_step_mult, flops_per_apply=None):
     ms = sec * 1e3 * per_step_mult
     row = dict(name=name, ms_per_step=round(ms, 3))
     if flops_per_apply:
-        tf = flops_per_apply * per_step_mult / (sec * per_step_mult) / 1e12
+        tf = flops_per_apply / sec / 1e12
         row["tflops"] = round(tf, 1)
         row["mxu_frac"] = round(tf / PEAK_TFLOPS, 3)
     print(json.dumps(row), flush=True)

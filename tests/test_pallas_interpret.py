@@ -16,14 +16,15 @@ def interpret_mode(monkeypatch):
     monkeypatch.setenv("UNITER_PALLAS_INTERPRET", "1")
 
 
-@pytest.mark.parametrize("impl,bb", [("pallas", 1), ("pallas", 2),
-                                     ("pallas", 3), ("pallas_nt", 1),
-                                     ("pallas_nt", 2)])
-def test_attention_kernel_interpret(impl, bb):
-    # bb=2 divides B; bb=3 does not and must clamp to the bb=1 behavior
+@pytest.mark.parametrize("impl,B,bb", [("pallas", 2, 1), ("pallas", 2, 2),
+                                       ("pallas", 4, 3), ("pallas_nt", 2, 1),
+                                       ("pallas_nt", 2, 2)])
+def test_attention_kernel_interpret(impl, B, bb):
+    # B=4/bb=3 exercises _batch_block's non-divisor decrement (3 does not
+    # divide 4 -> clamps to bc=2)
     from uniter_tpu.ops.attention import multi_head_attention
 
-    B, S, H, D = 2, 16, 4, 8
+    S, H, D = 16, 4, 8
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
     k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)

@@ -163,5 +163,6 @@ class CrossAttention(nn.Module):
         ctx = multi_head_attention(
             q, k, v, attn_bias,
             dropout_rate=rate, dropout_rng=rng, impl=cfg.attention_impl,
+            batch_block=cfg.attn_batch_block,
         ).reshape(b, tq, hid)
         return self.out_proj(ctx)

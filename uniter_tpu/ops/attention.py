@@ -184,11 +184,18 @@ def _head_chunk(h, s, d, n_bufs, bc=1):
 
 
 def _batch_block(b, h, s, d, n_bufs, requested):
-    """Largest divisor of B <= requested whose (bc, all-heads) block still
-    fits the VMEM budget (bigger MXU batches only pay off when heads are
-    NOT chunked down to compensate)."""
+    """Largest divisor of B <= requested whose (bc, all-heads) working set
+    stays under an empirically safe VMEM bound (bigger MXU batches only pay
+    off when heads are NOT chunked down to compensate).
+
+    The bound is deliberately tighter than _head_chunk's 10MB: Mosaic
+    compile-crashes at a 8.6MB bc-blocked working set (bb=4 at S=104,
+    docs/PERF.md r3 part 2) while 4.3MB (bb=2) is proven good, so bc>1 is
+    only admitted up to 5MB — between the measured good and bad points."""
+    budget = 5 * 1024 * 1024
+    per_bc = h * (s * s * 4 * 2 + n_bufs * s * d * 2)
     bc = max(1, min(b, requested))
-    while b % bc or (bc > 1 and _head_chunk(h, s, d, n_bufs, bc) < h):
+    while bc > 1 and (b % bc or bc * per_bc > budget):
         bc -= 1
     return bc
 
