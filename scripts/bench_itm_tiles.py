@@ -20,6 +20,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 N_TXT, N_IMG, T, R, D = 512, 512, 64, 40, 2048
 TILES = [(32, 64), (32, 128), (64, 64), (16, 256), (64, 128)]
+if os.environ.get("UNITER_BENCH_TILES"):  # e.g. "32x128,64x64"
+    TILES = [tuple(int(v) for v in t.split("x"))
+             for t in os.environ["UNITER_BENCH_TILES"].split(",")]
 
 
 def main():
@@ -43,7 +46,9 @@ def main():
         example=lambda i: {"input_ids": toks[i]},
     )
     cfg = base_config(dtype="bfloat16", attention_impl="pallas",
-                      scan_unroll=12, block_fusion="pallas")
+                      scan_unroll=12, block_fusion="pallas",
+                      attn_batch_block=int(os.environ.get(
+                          "UNITER_BENCH_ATTN_BB", "2")))
     model = UniterForImageTextRetrieval(cfg, img_dim=D)
     import jax.numpy as jnp
 
