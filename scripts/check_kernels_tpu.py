@@ -7,7 +7,11 @@
     kernel's own keep-mask (extracted via linearity probes)
 """
 import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_bench_cache")
