@@ -77,10 +77,18 @@ CONFIGS_R8 = [
     # does the k=64 relay-dispatch win carry to uniter-large?
     dict(name="large_B96_k64", B=96, T=64, R=40, k=64, large=True),
 ]
+CONFIGS_R9 = [
+    # guard: uniter-large under the production attn_batch_block=2 default
+    # (R8 measured large only at bb=1; the VMEM clamp sizes off head_dim
+    # so large's 16 heads x 64 head_dim may clamp differently)
+    dict(name="large_k32_bb1_ctl", B=96, T=64, R=40, k=32, large=True),
+    dict(name="large_k32_bb2", B=96, T=64, R=40, k=32, large=True,
+         attn_bb=2),
+]
 import os as _os
 CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3, "4": CONFIGS_R4,
            "5": CONFIGS_R5, "6": CONFIGS_R6, "7": CONFIGS_R7,
-           "8": CONFIGS_R8}.get(
+           "8": CONFIGS_R8, "9": CONFIGS_R9}.get(
                _os.environ.get("SWEEP_ROUND", "1"), CONFIGS_R1)
 
 
