@@ -59,7 +59,9 @@ def main(opts):
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     results = []
     for batch in loader:
-        jb = infer.eval_put(jnp_batch(batch), mesh)
+        # paired model reshapes rows into (example, 2) — keep pairs intact
+        jb = infer.eval_put(jnp_batch(batch), mesh,
+                            group=2 if paired else 1)
         scores = np.asarray(predict(params, jb))
         n = len(batch["qids"])
         preds = scores.argmax(-1)[:n]

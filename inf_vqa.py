@@ -33,10 +33,28 @@ def main(opts):
     model = UniterForVisualQuestionAnswering(
         cfg, img_dim=IMG_DIM, num_answer=num_answer)
 
-    if opts.ans2label:
-        with open(opts.ans2label) as f:
+    # resolution order (reference inf_vqa.py:45-47 reads the training
+    # run's dumped copy): explicit flag > train_dir/ckpt/ans2label.json >
+    # in-tree artifact (if it matches the head width) > index labels
+    from uniter_tpu.utils.vqa_answers import default_ans2label_path
+
+    a2l_path = opts.ans2label
+    if not a2l_path:
+        cand = os.path.join(opts.train_dir, "ckpt", "ans2label.json")
+        if os.path.exists(cand):
+            a2l_path = cand
+    ans2label = None
+    if a2l_path:
+        with open(a2l_path) as f:
             ans2label = json.load(f)
     else:
+        cand = default_ans2label_path()
+        if cand is not None:
+            with open(cand) as f:
+                d = json.load(f)
+            if len(d) == num_answer:
+                ans2label = d
+    if ans2label is None:
         ans2label = {str(i): i for i in range(num_answer)}
     label2ans = {v: k for k, v in ans2label.items()}
 

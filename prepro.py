@@ -282,11 +282,12 @@ def main(opts):
                 anns = json.load(f)
             anns = anns["annotations"] if isinstance(anns, dict) else anns
             annotations = {int(a["question_id"]): a for a in anns}
-            if not opts.ans2label:
-                raise ValueError("--ans2label is required with "
-                                 "--vqa_annotations")
-            with open(opts.ans2label) as f:
-                ans2label = json.load(f)
+            # --ans2label defaults to the in-tree vocabulary (the
+            # reference hardcodes utils/ans2label.json); regenerate with
+            # scripts/make_ans2label.py for custom vocabs
+            from uniter_tpu.utils.vqa_answers import load_ans2label
+
+            ans2label = load_ans2label(opts.ans2label or None)
         id2len, txt2img = process_vqa(
             questions, annotations, ans2label, db, tokenize,
             img_format=opts.img_format or "coco_{:012}.npz")

@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.e2e  # slow CLI-driver pipeline: -m 'not e2e' skips
 
 
 def _model_cfg(root, vocab=300):

@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.e2e  # slow CLI-driver pipeline: -m 'not e2e' skips
 
 IMG_DIM = 2048  # drivers pin the reference feature dim (utils/const.py)
 

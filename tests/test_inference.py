@@ -8,6 +8,7 @@ import sys
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.e2e  # slow CLI-driver pipeline: -m 'not e2e' skips
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

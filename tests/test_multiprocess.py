@@ -6,9 +6,12 @@ ids[hvd.rank()::hvd.size()]). Single-process branches are covered
 elsewhere; this is the only test where process_count() > 1."""
 
 import os
+import pytest
 import socket
 import subprocess
 import sys
+
+pytestmark = pytest.mark.e2e  # slow CLI-driver pipeline: -m 'not e2e' skips
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -76,7 +76,8 @@ def validate(model, params, loader, paired: bool):
 
     n_correct, n_ex, loss_sum = 0, 0, 0.0
     predict = cached_predict(model)
-    for batch, out in eval_batches(predict, params, loader):
+    for batch, out in eval_batches(predict, params, loader,
+                                   group=2 if paired else 1):
         targets = np.asarray(batch["targets"])
         scores = np.asarray(out)[:len(targets)]
         w = np.asarray(batch["ex_weight"])

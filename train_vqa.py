@@ -7,6 +7,8 @@ Loss = BCE.mean() * num_answers (train_vqa.py:188); the answer head gets a
 from __future__ import annotations
 
 import argparse
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,8 +58,29 @@ def validate(model, params, loader, num_answer):
 
 
 def main(opts):
+    # answer vocabulary: in-tree artifact by default (reference hardcodes
+    # utils/ans2label.json, train_vqa.py:107-108) — sets num_answer and is
+    # re-dumped next to the checkpoints for inference (train_vqa.py:160-161).
+    # An explicit non-default --num_answer (tests, custom heads) skips it.
+    from uniter_tpu.parallel.collectives import process_index
+    from uniter_tpu.utils.vqa_answers import load_ans2label
+
+    ans2label = None
+    if getattr(opts, "ans2label", None):
+        ans2label = load_ans2label(opts.ans2label)
+        opts.num_answer = len(ans2label)
+    elif opts.num_answer == 3129:
+        try:
+            ans2label = load_ans2label(None)
+            opts.num_answer = len(ans2label)
+        except FileNotFoundError:
+            pass
     cfg = driver.model_config_from_opts(opts)
     mesh = driver.setup_run(opts, cfg)
+    if ans2label is not None and process_index() == 0:
+        with open(os.path.join(opts.output_dir, "ckpt",
+                               "ans2label.json"), "w") as f:
+            json.dump(ans2label, f)
     model, cfg, params = build_model_and_params(
         opts, jax.random.PRNGKey(opts.seed))
 
@@ -106,7 +129,11 @@ def get_parser():
     parser.add_argument("--train_img_db", type=str)
     parser.add_argument("--val_txt_db", type=str)
     parser.add_argument("--val_img_db", type=str)
-    parser.add_argument("--num_answer", type=int, default=3129)
+    parser.add_argument("--num_answer", type=int, default=3129,
+                        help="overridden by the --ans2label vocabulary size")
+    parser.add_argument("--ans2label", default=None,
+                        help="answer->label json (default: the in-tree "
+                             "uniter_tpu/utils/ans2label.json)")
     parser.set_defaults(learning_rate=8e-5, lr_mul=10.0, max_txt_len=60,
                         num_train_steps=6000, warmup_steps=600)
     return parser

@@ -282,7 +282,18 @@ def model_config_from_opts(opts, **overrides) -> UniterConfig:
 
     from uniter_tpu.config import resolve_kernel_policies
 
+    # attn_batch_block precedence: CLI flag > model-config JSON (explicit
+    # key only — the dataclass default of 1 is not a choice) > accelerator
+    # default of 2
     abb = int(getattr(opts, "attn_batch_block", 0) or 0)
+    if not abb:
+        try:
+            import json as _json
+
+            with open(opts.model_config) as f:
+                abb = int(_json.load(f).get("attn_batch_block", 0) or 0)
+        except Exception:
+            abb = 0
     if jax.default_backend() != "cpu":
         # bc=2 batch elements per attention grid step: +0.6% measured
         # (1927.6 vs 1915.5 ex/s); the kernel clamps to a divisor of B
@@ -402,6 +413,17 @@ def run_training(opts, *, model, params, loss_fn, train_loader, mesh,
             info = saver.best_info()
             if info is not None:
                 best_value = float(info["value"])
+            # the sidecar lives on process 0's disk only; without shared
+            # storage, other processes would resume best_value=None and
+            # flag 'improved' divergently — take process 0's value
+            if jax.process_count() > 1:
+                from uniter_tpu.parallel.collectives import all_gather_list
+
+                best_value = all_gather_list(best_value)[0]
+    elif best_metric:
+        # fresh run in a reused output_dir: clear a previous run's best
+        # export so --ckpt best can never resolve to stale weights
+        saver.clear_best()
     ds = getattr(train_loader, "dataset", None)
     if ds is not None:
         check_token_range(model.config, ds)

@@ -85,23 +85,27 @@ def local_eval_mesh():
     return make_mesh(MeshConfig(data=-1), devices=jax.local_devices())
 
 
-def eval_put(batch: dict, mesh) -> dict:
+def eval_put(batch: dict, mesh, group: int = 1) -> dict:
     """device_put a host eval batch with the leading (batch) axis sharded
     over the mesh's data axis so every local chip computes a slice
     (reference: all inference runs multi-GPU; the rebuild previously
     computed eval on one chip per process).
 
-    Rows are ZERO-padded up to a data-axis multiple (any local device
-    count works, including ones that don't divide the bucket batch
-    size) — callers must trim device outputs to their real row count
-    before reducing (the contract every caller here follows: qids /
+    Rows are ZERO-padded up to a multiple of lcm(data_axis, ``group``)
+    (any local device count works, including ones that don't divide the
+    bucket batch size; ``group`` > 1 preserves row grouping for models
+    that reshape rows into fixed-size sets, e.g. the NLVR2 paired model's
+    2 rows/example) — callers must trim device outputs to their real row
+    count before reducing (the contract every caller here follows: qids /
     targets length / host-row count). Non-array values (qids and other
     host metadata) pass through."""
+    import math
+
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n = mesh.shape["data"]
+    n = math.lcm(mesh.shape["data"], max(int(group), 1))
     sh = NamedSharding(mesh, P("data"))
     out = {}
     for k, v in batch.items():
@@ -194,7 +198,8 @@ def cached_predict(model):
     return fn
 
 
-def eval_batches(predict_fn, params, loader, prefetch: int = 2, mesh=None):
+def eval_batches(predict_fn, params, loader, prefetch: int = 2, mesh=None,
+                 group: int = 1):
     """Drive a jitted predict over an eval loader with the standard
     two-level sharding: params made process-local once (local_eval_params
     on the local mesh), each batch's rows spread over the local chips
@@ -218,7 +223,8 @@ def eval_batches(predict_fn, params, loader, prefetch: int = 2, mesh=None):
 
     def put(batch):
         return batch, eval_put({k: v for k, v in batch.items()
-                                if isinstance(v, np.ndarray)}, mesh)
+                                if isinstance(v, np.ndarray)}, mesh,
+                               group=group)
 
     it = DevicePrefetcher(iter(loader), put, depth=prefetch)
     try:

@@ -174,12 +174,15 @@ def fused_adamw(
         mu = jax.tree.unflatten(treedef, [t[1] for t in flat])
         nu = jax.tree.unflatten(treedef, [t[2] for t in flat])
         if master:
-            # updates slot carries ZEROS (structure-compat, DCE'd by the
-            # caller's master fast path); the new master rides the state
-            zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, p.dtype), params)
-            return zeros, FusedAdamWState(count=count, mu=mu, nu=nu,
-                                          gnorm=gnorm, master=first)
+            # updates carry the TRUE delta (new_master cast to storage
+            # dtype, minus p) so the standard optax contract
+            # (optax.apply_updates) still trains; the master-aware caller
+            # (TrainState.apply_gradients) takes opt_state.master directly
+            # — exact, no double-rounding — and XLA DCEs this delta there.
+            updates = jax.tree.map(
+                lambda m, p: m.astype(p.dtype) - p, first, params)
+            return updates, FusedAdamWState(count=count, mu=mu, nu=nu,
+                                            gnorm=gnorm, master=first)
         return first, FusedAdamWState(count=count, mu=mu, nu=nu,
                                       gnorm=gnorm, master=None)
 

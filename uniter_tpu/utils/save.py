@@ -136,6 +136,23 @@ class TrainStateSaver:
         with open(path) as f:
             return json.load(f)
 
+    def clear_best(self):
+        """Remove a previous run's best-checkpoint export.
+
+        A FRESH run in a reused output_dir starts its own maximum from
+        scratch; until it first improves, a stale ``model_step_best.*``
+        from an earlier run would silently resolve ``--ckpt best`` to the
+        wrong weights. Process 0 only (it owns the export files)."""
+        import jax
+
+        if jax.process_index() != 0:
+            return
+        for name in ("model_step_best.msgpack", "model_step_best.json"):
+            path = os.path.join(self.dir, name)
+            if os.path.exists(path):
+                os.remove(path)
+                LOGGER.info("cleared stale best export %s", path)
+
     def _write_exports(self, path, host_params, step, best_value):
         save_params_msgpack(path, host_params)
         if best_value is not None:
