@@ -1,14 +1,22 @@
 """Benchmark: uniter-base fine-tune train-step throughput on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints up to THREE JSON lines (VERDICT r3 #5 — machine-record the
+non-flagship paths so regressions show in artifact diffs, not prose):
+  {"metric": "itm_retrieval_scoring_throughput", ...}     (extra)
+  {"metric": "uniter_large_finetune_train_throughput", ...} (extra)
+  {"metric": "nlvr2_class_finetune_train_throughput", ...}  (flagship, LAST)
+The flagship line prints last so single-line consumers reading the tail
+keep getting it; UNITER_BENCH_EXTRA=0 suppresses the extra lines.
 
 Baseline: the reference publishes no throughput numbers (README.md:1-275;
 see BASELINE.md). The comparison point is the reference's own recipe
 hardware — fp16 apex-O2 fine-tuning on V100 (README.md:30-31). We use an
 estimated 170 examples/sec/V100 for the NLVR2-class workload (~53 GFLOP/ex
 at seq~104; 8% MFU of 112 fp16 TFLOPS — typical for apex BERT-base short-seq
-fine-tune). vs_baseline = measured_ex_per_sec_per_chip / 170.
+fine-tune). vs_baseline = measured_ex_per_sec_per_chip / 170. The extra
+rows use the same estimate scaled by workload: uniter-large ~3.1x the
+FLOPs (55 ex/s/V100); retrieval scoring is forward-only (~3x the train
+rate at the same shapes: 510 pairs/s/V100).
 """
 
 import json
@@ -28,6 +36,66 @@ V100_BASELINE_EX_PER_SEC = 170.0
 # Workload: NLVR2-class fine-tune shapes — ~10k tokens per batch
 # (config/train-nlvr2-base-1gpu.json: 10240-token batches).
 B, T, R = 96, 64, 40
+
+
+def bench_retrieval():
+    """Retrieval fast-path pairs/s at the r3 production tile (32 texts x
+    128 images per device batch — docs/PERF.md r3; utils/itm_fast.py)."""
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from uniter_tpu.config import base_config
+    from uniter_tpu.models.itm import UniterForImageTextRetrieval
+    from uniter_tpu.utils.itm_fast import fast_score_matrix
+
+    n_txt, n_img, t, r, d = 512, 512, 64, 40, 2048
+    rng = np.random.RandomState(0)
+    toks = [rng.randint(5, 28000, rng.randint(8, t - 2))
+            for _ in range(n_txt)]
+    feats = {f"i{j}": (rng.randn(r, d).astype(np.float32),
+                       rng.rand(r, 7).astype(np.float32), r)
+             for j in range(n_img)}
+    ds = SimpleNamespace(
+        ids=[f"t{i}" for i in range(n_txt)],
+        all_img_ids=list(feats),
+        txt_db=SimpleNamespace(combine_inputs=lambda ids: np.concatenate(
+            [[101], np.asarray(ids, np.int32), [102]])),
+        img_db=SimpleNamespace(get_img_feat=lambda name: feats[name]),
+        example=lambda i: {"input_ids": toks[i]},
+    )
+    cfg = base_config(dtype="bfloat16", attention_impl="pallas",
+                      scan_unroll=12, block_fusion="pallas",
+                      attn_batch_block=2)
+    model = UniterForImageTextRetrieval(cfg, img_dim=d)
+    init_batch = dict(
+        input_ids=jnp.zeros((8, t), jnp.int32),
+        position_ids=jnp.zeros((8, t), jnp.int32),
+        img_feat=jnp.zeros((8, r, d), jnp.float32),
+        img_pos_feat=jnp.zeros((8, r, 7), jnp.float32),
+        attn_mask=jnp.ones((8, t + r), jnp.int32),
+    )
+    params = model.init({"params": jax.random.PRNGKey(0)}, init_batch,
+                        False)["params"]
+    kw = dict(txt_tile=32, img_tile=128, dtype="bfloat16")
+    fast_score_matrix(model, params, ds, t, r, **kw)  # compile warm-up
+    t0 = time.perf_counter()
+    scores = fast_score_matrix(model, params, ds, t, r, **kw)
+    _ = float(np.asarray(scores).reshape(-1)[-1])  # relay fence
+    return n_txt * n_img / (time.perf_counter() - t0)
+
+
+def bench_large():
+    """uniter-large (24L/1024H/16 heads) fine-tune-class train step at the
+    r3 optimum (B=96 S=104 k=32; docs/PERF.md)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    try:
+        from bench_sweep_r3 import run_one
+    finally:
+        sys.path.pop(0)
+    return run_one(B=96, T=64, R=40, k=32, large=True, attn_bb=2)
 
 
 def main():
@@ -116,6 +184,21 @@ def main():
         dt = time.perf_counter() - t0
         return n_iters * k * B / dt
 
+    if os.environ.get("UNITER_BENCH_EXTRA", "1") != "0":
+        for name, fn, unit, baseline in (
+                ("itm_retrieval_scoring_throughput", bench_retrieval,
+                 "pairs/sec/chip", 510.0),
+                ("uniter_large_finetune_train_throughput", bench_large,
+                 "examples/sec/chip", 55.0)):
+            try:
+                v = fn()
+                print(json.dumps({
+                    "metric": name, "value": round(v, 2), "unit": unit,
+                    "vs_baseline": round(v / baseline, 3)}), flush=True)
+            except Exception as e:
+                print(f"[bench] extra {name} failed ({e!r})",
+                      file=sys.stderr)
+
     try:
         ex_per_sec = run(attention_impl)
     except Exception as e:  # pallas path unavailable -> XLA fallback
@@ -124,6 +207,7 @@ def main():
         attention_impl = "xla"
         ex_per_sec = run("xla")
 
+    # flagship line LAST (single-line consumers parse the tail)
     print(json.dumps({
         "metric": "nlvr2_class_finetune_train_throughput",
         "value": round(ex_per_sec, 2),

@@ -109,6 +109,7 @@ def create_dataloaders(datasets_cfg, opts, mesh, train=True) -> Dict[str, tuple]
                                   seed=opts.seed, loop=train,
                                   shuffle=train, drop_last=train,
                                   num_workers=opts.n_workers,
+                                  worker_type=getattr(opts, "worker_type", None),
                                   **driver.shard_kw())
             out[f"{task}_{name}"] = (loader, ratio)
     return out

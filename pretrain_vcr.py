@@ -99,6 +99,7 @@ def main(opts):
                                  seed=opts.seed, loop=train, shuffle=train,
                                  drop_last=train,
                                  num_workers=opts.n_workers,
+                                  worker_type=getattr(opts, "worker_type", None),
                                  **driver.shard_kw()), ratio)
         return out
 

@@ -85,16 +85,36 @@ CONFIGS_R9 = [
     dict(name="large_k32_bb2", B=96, T=64, R=40, k=32, large=True,
          attn_bb=2),
 ]
+CONFIGS_R10 = [
+    # r4: head-chunked attention grid for uniter-large (VERDICT r3 #3).
+    # _grid_blocks now admits bc=2 by chunking heads (hc=8, 2.9MB) under
+    # the default 5MB clamp; the 6MB probe admits the full-head bb=2
+    # working set (hc=16, 5.75MB — between the proven-good 4.3MB and the
+    # Mosaic-crash 8.6MB points).
+    dict(name="large_k32_bb1_ctl", B=96, T=64, R=40, k=32, large=True),
+    dict(name="large_k32_bb2_hc8", B=96, T=64, R=40, k=32, large=True,
+         attn_bb=2),
+    dict(name="large_k32_bb2_hc16_6MB", B=96, T=64, R=40, k=32, large=True,
+         attn_bb=2, vmem_budget=6 * 1024 * 1024),
+    # flagship guard: base shapes must be unchanged by the joint selector
+    dict(name="base_k64_bb2_ctl", B=96, T=64, R=40, k=64, attn_bb=2),
+]
 import os as _os
 CONFIGS = {"2": CONFIGS_R2, "3": CONFIGS_R3, "4": CONFIGS_R4,
            "5": CONFIGS_R5, "6": CONFIGS_R6, "7": CONFIGS_R7,
-           "8": CONFIGS_R8, "9": CONFIGS_R9}.get(
+           "8": CONFIGS_R8, "9": CONFIGS_R9,
+           "10": CONFIGS_R10}.get(
                _os.environ.get("SWEEP_ROUND", "1"), CONFIGS_R1)
 
 
 def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
             large=False, param_bf16=False, ffn_impl="xla",
-            fused_qkv=False, attn_bb=1):
+            fused_qkv=False, attn_bb=1, vmem_budget=None):
+    if vmem_budget is not None:
+        # read at pallas_call construction (trace time) by _bc_budget
+        os.environ["UNITER_ATTN_VMEM_BUDGET"] = str(vmem_budget)
+    else:
+        os.environ.pop("UNITER_ATTN_VMEM_BUDGET", None)
     import jax
     import jax.numpy as jnp
 

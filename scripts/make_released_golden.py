@@ -83,6 +83,42 @@ def zero_shot_logits(ckpt_path: str, json_file: str) -> dict:
     )
 
 
+def nlvr2_logits(ckpt_path: str, json_file: str) -> dict:
+    """Trunk-loaded NLVR2-paired logits (head is fresh-init from the fixed
+    PRNGKey(0), so values are deterministic given the trunk weights —
+    reference train_nlvr2.py:127-135 loads the trunk the same way)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from uniter_tpu.config import UniterConfig, resolve_kernel_policies
+    from uniter_tpu.models.nlvr2 import UniterForNlvr2Paired
+    from uniter_tpu.training import driver
+
+    cfg = resolve_kernel_policies(
+        UniterConfig.from_json_file(json_file, dtype="float32",
+                                    attention_impl="xla",
+                                    type_vocab_size=3))
+    model = UniterForNlvr2Paired(cfg, img_dim=2048)
+    batch = canned_batch()
+    batch["img_type_ids"] = (np.ones((B, R), np.int32)
+                             * (np.arange(B)[:, None] % 2 + 1)).astype(
+                                 np.int32)
+    import jax.numpy as jnp
+    batch["img_type_ids"] = jnp.asarray(batch["img_type_ids"])
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch, False)[
+        "params"]
+    params = driver.load_trunk_checkpoint(
+        params, SimpleNamespace(checkpoint=ckpt_path), cfg,
+        n_type_rows=3, type_copy_row=1)
+    logits = np.asarray(
+        model.apply({"params": params}, batch, False), np.float64)
+    return dict(
+        nlvr2_logits=[round(float(v), 6) for v in logits.reshape(-1)],
+        nlvr2_logits_mean=round(float(logits.mean()), 6),
+    )
+
+
 def load_accounting(ckpt_path: str, num_layers: int) -> dict:
     from uniter_tpu.models import checkpoint as ckpt_lib
 
@@ -118,6 +154,7 @@ def main():
             sha256=sha,
             **load_accounting(path, layers),
             **zero_shot_logits(path, spec["json_file"]),
+            **nlvr2_logits(path, spec["json_file"]),
         )
         print(f"[ok] {name}: {golden[name]['n_trunk_tensors']} trunk "
               f"tensors, logits mean {golden[name]['logits_mean']}")

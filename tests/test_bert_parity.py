@@ -18,6 +18,8 @@ from uniter_tpu.config import UniterConfig
 from uniter_tpu.models.encoder import UniterModel
 from uniter_tpu.models import checkpoint as ckpt
 
+pytestmark = pytest.mark.e2e  # torch-reference parity harness (slow import/build)
+
 transformers = pytest.importorskip("transformers")
 
 

@@ -159,6 +159,26 @@ def test_loader_identical_across_num_workers():
         np.testing.assert_array_equal(x["noise"], y["noise"])
 
 
+def test_loader_identical_with_process_workers():
+    """worker_type='process' (fork pool; records come back pickled) is the
+    same pure throughput knob: batches bit-identical to serial."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import BucketLoader
+
+    spec = BucketSpec(txt_buckets=(8,), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+    a = _batches(BucketLoader(_SkipDs(40), spec, seed=5, loop=True), 6)
+    loader = BucketLoader(_SkipDs(40), spec, seed=5, loop=True,
+                          num_workers=2, worker_type="process")
+    try:
+        b = _batches(loader, 6)
+    finally:
+        loader.close()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+        np.testing.assert_array_equal(x["noise"], y["noise"])
+
+
 def test_meta_loader_skip_steps():
     """skip_steps(n) then read == read from position n — task draw sequence,
     per-task loader positions, and a partially consumed accumulation window

@@ -538,6 +538,7 @@ def test_export_roundtrip(refpkg):
             np.asarray(a), np.asarray(ckpt.flatten(params2)[p]), err_msg=p)
 
 
+@pytest.mark.e2e  # 12L/768H torch-vs-jax build (CI-tier)
 def test_full_width_base_parity(refpkg):
     """uniter-base geometry (12L / 768H / 12 heads / 3072 inter / 28996
     vocab / 2048-dim features — /root/reference/config/uniter-base.json):

@@ -445,6 +445,7 @@ def test_fused_adamw_master_mode_tracks_fp32_exactly():
         assert sm.params["b"].dtype == jnp.float32
 
 
+@pytest.mark.e2e  # spawns a full training subprocess
 def test_sigterm_preemption_saves_and_resumes(tmp_path):
     """SIGTERM mid-run (the TPU spot/maintenance reclaim signal) -> the loop
     stops at the next step boundary with a resumable checkpoint, restores

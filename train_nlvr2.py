@@ -108,7 +108,8 @@ def main(opts):
     spec = driver.bucket_spec(opts, mesh, train_ds)
     train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True,
                                 **driver.shard_kw(),
-                               num_workers=opts.n_workers)
+                               num_workers=opts.n_workers,
+                               worker_type=getattr(opts, "worker_type", None))
     val_ds = build_dataset(opts.val_txt_db, opts.val_img_db, opts, False)
     val_loader = BucketLoader(
         val_ds, driver.bucket_spec(opts, mesh, val_ds,

@@ -90,6 +90,7 @@ def main(opts):
     spec = driver.bucket_spec(opts, mesh, train_ds)
     train_loader = BucketLoader(train_ds, spec, seed=opts.seed, loop=True,
                                num_workers=opts.n_workers,
+                                  worker_type=getattr(opts, "worker_type", None),
                                **driver.shard_kw())
 
     val_txt = TxtTokDb(opts.val_txt_db, max_txt_len=opts.max_txt_len)

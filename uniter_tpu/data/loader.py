@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import itertools
+import os
 import threading
 import queue as queue_mod
 from typing import Any, Callable, Dict, Iterator, Optional
@@ -24,6 +25,16 @@ import numpy as np
 
 from uniter_tpu.data.buckets import BucketSpec
 from uniter_tpu.data.sampler import StaticBucketSampler
+
+# handoff slot for fork-based worker pools: set immediately before the
+# Pool() fork so children capture the owning loader's dataset (its ctypes
+# store handles can't be pickled through initargs), cleared after.
+_FORK_DATASET = None
+
+
+def _fork_get_record(iv):
+    i, seed = iv
+    return _FORK_DATASET.get_record(i, np.random.RandomState(seed))
 
 
 class BucketLoader:
@@ -54,6 +65,7 @@ class BucketLoader:
         drop_last: Optional[bool] = None,
         loop: bool = False,
         num_workers: int = 0,
+        worker_type: Optional[str] = None,
         shard_index: int = 0,
         shard_count: int = 1,
     ):
@@ -66,10 +78,34 @@ class BucketLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self._pool = None
-        if num_workers > 0:
+        self._proc_pool = None
+        # "thread": ThreadPoolExecutor — decode's heavy pieces (lmdbx mmap
+        # reads, lz4 frames, large numpy ops) release the GIL, so threads
+        # scale on multi-core hosts with near-zero IPC cost. "process":
+        # fork-based pool for GIL-bound decode mixes (python-heavy record
+        # post-processing) — children inherit the read-only store mmaps
+        # (fork-safe: native/lmdbx.cc maps PROT_READ, no shared mutable
+        # state); records come back pickled. Both are deterministic: the
+        # per-record RNG seeds are drawn in the parent (see _fetch).
+        worker_type = worker_type or os.environ.get(
+            "UNITER_WORKER_TYPE", "thread")
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type {worker_type!r}")
+        self.worker_type = worker_type
+        if num_workers > 0 and worker_type == "thread":
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(num_workers)
+        elif num_workers > 0:
+            import multiprocessing as mp
+
+            global _FORK_DATASET
+            _FORK_DATASET = dataset
+            # fork NOW so the children capture THIS loader's dataset via
+            # the module global (initargs would have to pickle the ctypes
+            # store handles); Pool() forks its workers eagerly
+            self._proc_pool = mp.get_context("fork").Pool(num_workers)
+            _FORK_DATASET = None
         rows = getattr(dataset, "rows_per_example", 1)
         sizes = [dataset.size_of(i) for i in range(len(dataset))]
         self.sampler = StaticBucketSampler(
@@ -79,6 +115,21 @@ class BucketLoader:
         )
         self._epoch = 0
         self._skip = 0  # pending resume fast-forward (see skip_batches)
+
+    def close(self):
+        if self._proc_pool is not None:
+            self._proc_pool.terminate()
+            self._proc_pool.join()
+            self._proc_pool = None
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):  # worker processes must not outlive the loader
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_group(self, group: int):
         """Emit same-bucket batches in contiguous runs of ``group`` (see
@@ -90,15 +141,19 @@ class BucketLoader:
     def _fetch(self, idxs, rng):
         # per-record RNG streams: one seed draw per record from the loader
         # stream, each record masked/sampled from its own RandomState. This
-        # makes results identical across num_workers settings AND lets
-        # skip_batches() fast-forward the stream without fetching (the draw
-        # count per batch is just len(idxs), not data-dependent).
+        # makes results identical across num_workers settings (and worker
+        # types) AND lets skip_batches() fast-forward the stream without
+        # fetching (the draw count per batch is just len(idxs), not
+        # data-dependent).
         seeds = rng.randint(2**31, size=len(idxs)).tolist()
         if self._pool is not None:
             return list(self._pool.map(
                 lambda iv: self.dataset.get_record(
                     iv[0], np.random.RandomState(iv[1])),
                 zip(idxs, seeds)))
+        if self._proc_pool is not None:
+            return self._proc_pool.map(
+                _fork_get_record, list(zip(idxs, seeds)))
         return [self.dataset.get_record(i, np.random.RandomState(s))
                 for i, s in zip(idxs, seeds)]
 

@@ -183,21 +183,44 @@ def _head_chunk(h, s, d, n_bufs, bc=1):
     return hc
 
 
-def _batch_block(b, h, s, d, n_bufs, requested):
-    """Largest divisor of B <= requested whose (bc, all-heads) working set
-    stays under an empirically safe VMEM bound (bigger MXU batches only pay
-    off when heads are NOT chunked down to compensate).
+def _bc_budget() -> int:
+    """VMEM working-set bound for bc>1 grid steps. Mosaic compile-crashes
+    at 8.6MB (bb=4 at base shapes, docs/PERF.md r3 part 2) while 4.3MB
+    (base bb=2) is measured good on v5e, so bc>1 is only admitted up to
+    5MB — between the measured good and bad points. Env-overridable for
+    hardware probes (UNITER_ATTN_VMEM_BUDGET, bytes)."""
+    import os
 
-    The bound is deliberately tighter than _head_chunk's 10MB: Mosaic
-    compile-crashes at a 8.6MB bc-blocked working set (bb=4 at S=104,
-    docs/PERF.md r3 part 2) while 4.3MB (bb=2) is proven good, so bc>1 is
-    only admitted up to 5MB — between the measured good and bad points."""
-    budget = 5 * 1024 * 1024
-    per_bc = h * (s * s * 4 * 2 + n_bufs * s * d * 2)
-    bc = max(1, min(b, requested))
-    while bc > 1 and (b % bc or bc * per_bc > budget):
-        bc -= 1
-    return bc
+    return int(os.environ.get("UNITER_ATTN_VMEM_BUDGET",
+                              5 * 1024 * 1024))
+
+
+def _grid_blocks(b, h, s, d, n_bufs, requested):
+    """Joint (bc, hc) selection: batch elements and heads per grid step.
+
+    Maximizes the per-step MXU batch (bc*hc — what amortizes grid overhead
+    and feeds the systolic array), tie-breaking toward larger bc (fewer
+    grid steps). bc=1 may use the looser 10MB bound (proven by the r1-r3
+    single-element kernels); bc>1 is capped by _bc_budget(). A requested
+    bb whose all-heads working set overflows is satisfied by chunking
+    heads (hc < H) rather than degrading to bc=1 — uniter-large's 16-head
+    set at S>=128 only fits bb=2 this way (VERDICT r3 #3)."""
+    per_head = s * s * 4 * 2 + n_bufs * s * d * 2
+    best = (1, _head_chunk(h, s, d, n_bufs, bc=1))
+    if requested <= 1:
+        return best
+    budget = _bc_budget()
+    for bc in range(min(b, requested), 1, -1):
+        if b % bc:
+            continue
+        hc = max(1, min(h, budget // max(bc * per_head, 1)))
+        while h % hc:
+            hc -= 1
+        if bc * hc * per_head > budget:
+            continue
+        if (bc * hc, bc) > (best[0] * best[1], best[0]):
+            best = (bc, hc)
+    return best
 
 
 def _bhsd_spec(bc, hc, s, d):
@@ -234,8 +257,7 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate, native=False, bb=1):
         spec = _bhsd_spec
     bias = bias.reshape(b, 1, s)
     # chunk sizes must MATCH the backward pass so dropout streams replay
-    bc = _batch_block(b, h, s, d, n_bufs=7, requested=bb)
-    hc = _head_chunk(h, s, d, n_bufs=7, bc=bc)
+    bc, hc = _grid_blocks(b, h, s, d, n_bufs=7, requested=bb)
     kernel = functools.partial(
         _mha_fwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate, native=native
     )
@@ -261,8 +283,7 @@ def _mha_pallas_bwd_raw(q, k, v, bias, seed, rate, g, native=False, bb=1):
         b, h, s, d = q.shape
         spec = _bhsd_spec
     bias = bias.reshape(b, 1, s)
-    bc = _batch_block(b, h, s, d, n_bufs=7, requested=bb)
-    hc = _head_chunk(h, s, d, n_bufs=7, bc=bc)
+    bc, hc = _grid_blocks(b, h, s, d, n_bufs=7, requested=bb)
     kernel = functools.partial(
         _mha_bwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate, native=native
     )

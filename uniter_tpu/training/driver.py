@@ -105,6 +105,11 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--fp16", action="store_true",
                         help="accepted for config compat; bf16 is used")
     parser.add_argument("--n_workers", type=int, default=4)
+    parser.add_argument("--worker_type", default="thread",
+                        choices=["thread", "process"],
+                        help="decode-worker pool: threads (lmdbx/lz4/numpy "
+                             "release the GIL; near-zero IPC) or fork "
+                             "processes (for GIL-bound record mixes)")
     parser.add_argument("--pin_mem", action="store_true")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of a few hot-loop "
