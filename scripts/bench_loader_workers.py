@@ -31,7 +31,9 @@ CACHE_DIR = os.environ.get("UNITER_LOADER_BENCH_DIR",
 N_IMG, N_TXT = 600, 4000
 IMG_DIM, LABEL_DIM = 2048, 1601
 META = {"CLS": 101, "SEP": 102, "MASK": 103, "v_range": [104, 28000]}
-WORKERS = [0, 1, 2, 4, 8]
+WORKERS = [(0, "thread"), (1, "thread"), (2, "thread"), (4, "thread"),
+           (8, "thread"), (2, "process"), (4, "process"),
+           (2, "shm"), (4, "shm")]
 N_BATCHES = int(os.environ.get("UNITER_LOADER_BENCH_BATCHES", "80"))
 
 
@@ -71,7 +73,7 @@ def build_dbs():
     return img_dir, txt_dir
 
 
-def run_one(img_dir, txt_dir, n_workers):
+def run_one(img_dir, txt_dir, n_workers, worker_type="thread"):
     from uniter_tpu.data import DetectFeatDb, TxtTokDb
     from uniter_tpu.data.buckets import BucketSpec
     from uniter_tpu.data.loader import BucketLoader
@@ -84,30 +86,33 @@ def run_one(img_dir, txt_dir, n_workers):
     spec = BucketSpec(txt_buckets=(32, 64), img_buckets=(40, 64, 100),
                       token_budget=10240, size_mul=8)
     loader = BucketLoader(ds, spec, seed=7, loop=True,
-                          num_workers=n_workers)
-    it = iter(loader)
-    # warm: touch stores, fill caches
-    for _ in range(4):
-        next(it)
-    n_ex = 0
-    t0 = time.perf_counter()
-    for _ in range(N_BATCHES):
-        b = next(it)
-        n_ex += int(b["input_ids"].shape[0])
-    dt = time.perf_counter() - t0
-    return n_ex / dt
+                          num_workers=n_workers, worker_type=worker_type)
+    try:
+        it = iter(loader)
+        # warm: touch stores, fill caches
+        for _ in range(4):
+            next(it)
+        n_ex = 0
+        t0 = time.perf_counter()
+        for _ in range(N_BATCHES):
+            b = next(it)
+            n_ex += int(b["input_ids"].shape[0])
+        dt = time.perf_counter() - t0
+        return n_ex / dt
+    finally:
+        loader.close()
 
 
 def main():
     img_dir, txt_dir = build_dbs()
     out = "/tmp/bench_loader_workers.jsonl"
     base = None
-    for w in WORKERS:
+    for w, wt in WORKERS:
         t0 = time.time()
-        ex_s = run_one(img_dir, txt_dir, w)
-        if base is None and w <= 1:
-            base = ex_s if w == 0 else base or ex_s
-        rec = dict(n_workers=w, ex_per_s=round(ex_s, 1),
+        ex_s = run_one(img_dir, txt_dir, w, wt)
+        if base is None and w == 0:
+            base = ex_s
+        rec = dict(n_workers=w, worker_type=wt, ex_per_s=round(ex_s, 1),
                    speedup_vs_serial=round(ex_s / base, 2) if base else None,
                    wall_s=round(time.time() - t0, 1))
         line = json.dumps(rec)

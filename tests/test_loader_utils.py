@@ -1,6 +1,7 @@
 """AccumLoader + DevicePrefetcher unit tests."""
 
 import numpy as np
+import pytest
 
 from uniter_tpu.data.loader import AccumLoader, DevicePrefetcher
 
@@ -159,9 +160,11 @@ def test_loader_identical_across_num_workers():
         np.testing.assert_array_equal(x["noise"], y["noise"])
 
 
-def test_loader_identical_with_process_workers():
-    """worker_type='process' (fork pool; records come back pickled) is the
-    same pure throughput knob: batches bit-identical to serial."""
+@pytest.mark.parametrize("wt", ["process", "shm"])
+def test_loader_identical_with_process_workers(wt):
+    """worker_type='process' (fork pool, workers collate shards, pickled
+    back) and 'shm' (workers collate straight into a shared-memory ring)
+    are the same pure throughput knob: batches bit-identical to serial."""
     from uniter_tpu.data.buckets import BucketSpec
     from uniter_tpu.data.loader import BucketLoader
 
@@ -169,14 +172,70 @@ def test_loader_identical_with_process_workers():
                       token_budget=128, size_mul=8)
     a = _batches(BucketLoader(_SkipDs(40), spec, seed=5, loop=True), 6)
     loader = BucketLoader(_SkipDs(40), spec, seed=5, loop=True,
-                          num_workers=2, worker_type="process")
+                          num_workers=2, worker_type=wt)
     try:
-        b = _batches(loader, 6)
+        # shm batches view ring segments valid for `depth` batches — copy
+        # each AS CONSUMED, like a real consumer's device transfer does
+        import itertools
+        b = [{k: np.array(v) for k, v in d.items()}
+             for d in itertools.islice(iter(loader), 6)]
     finally:
         loader.close()
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x["idx"], y["idx"])
         np.testing.assert_array_equal(x["noise"], y["noise"])
+
+
+class _PairedDs:
+    """2 rows/example + a per-PAIR target key (the NLVR2-paired ratio
+    shape) to exercise the shm layout's r_inv handling."""
+    rows_per_example = 2
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def size_of(self, i):
+        return (6, 5)
+
+    def get_record(self, i, rng):
+        return {"idx": i, "noise": int(rng.randint(1_000_000))}
+
+    @staticmethod
+    def collate(recs, t_b, r_b, bs):
+        rows = np.full((bs * 2, 3), -1, np.int64)
+        target = np.full((bs,), -1, np.int64)
+        for j, r in enumerate(recs):
+            rows[2 * j] = (r["idx"], r["noise"], 0)
+            rows[2 * j + 1] = (r["idx"], r["noise"], 1)
+            target[j] = r["noise"] % 2
+        return {"rows": rows, "target": target,
+                "qids": [r["idx"] for r in recs]}
+
+
+@pytest.mark.parametrize("wt", ["process", "shm"])
+def test_paired_ratio_keys_across_worker_types(wt):
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import BucketLoader
+
+    spec = BucketSpec(txt_buckets=(8,), img_buckets=(8,),
+                      token_budget=256, size_mul=8)
+    a = _batches(BucketLoader(_PairedDs(40), spec, seed=5, loop=True), 6)
+    loader = BucketLoader(_PairedDs(40), spec, seed=5, loop=True,
+                          num_workers=2, worker_type=wt)
+    try:
+        import itertools
+        b = [{k: (np.array(v) if isinstance(v, np.ndarray) else v)
+              for k, v in d.items()}
+             for d in itertools.islice(iter(loader), 6)]  # copy as consumed
+    finally:
+        loader.close()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["rows"], y["rows"])
+        np.testing.assert_array_equal(x["target"], y["target"])
+        assert x["qids"] == y["qids"]
 
 
 def test_meta_loader_skip_steps():

@@ -27,14 +27,154 @@ from uniter_tpu.data.buckets import BucketSpec
 from uniter_tpu.data.sampler import StaticBucketSampler
 
 # handoff slot for fork-based worker pools: set immediately before the
-# Pool() fork so children capture the owning loader's dataset (its ctypes
-# store handles can't be pickled through initargs), cleared after.
-_FORK_DATASET = None
+# Pool() fork so children capture the owning loader's (dataset, collate)
+# (the ctypes store handles can't be pickled through initargs), cleared
+# after.
+_FORK_STATE = None
 
 
-def _fork_get_record(iv):
-    i, seed = iv
-    return _FORK_DATASET.get_record(i, np.random.RandomState(seed))
+def _fork_collate_shard(args):
+    """Worker task: decode a CONTIGUOUS shard of the batch and collate it
+    to exact size. Returning one collated dict per shard (a few large
+    contiguous arrays) instead of per-record dicts keeps the pickle IPC at
+    memcpy speed — measured 1-vCPU overhead of per-record returns was
+    ~2.5ms/record, which would cap multi-core scaling at the parent."""
+    idxs, seeds, t_b, r_b = args
+    ds, collate = _FORK_STATE
+    recs = [ds.get_record(i, np.random.RandomState(s))
+            for i, s in zip(idxs, seeds)]
+    return collate(recs, t_b, r_b, len(recs))
+
+
+def _assemble_shards(parts, bs, n_ex):
+    """Concatenate worker-collated shards into the batch_size=``bs``
+    batch (``n_ex`` real examples were collated). Each key's final length
+    scales its actual rows by bs/n_ex — keys may carry any fixed
+    rows-per-example ratio (NLVR2-paired input rows at 2x examples,
+    targets at 1x). Training batches are always full (drop_last), so
+    padding only triggers on eval tails."""
+    out = {}
+    for k, v0 in parts[0].items():
+        if isinstance(v0, np.ndarray) and v0.ndim >= 1:
+            n_k = sum(p[k].shape[0] for p in parts)
+            want = max(n_k * bs // n_ex, n_k) if n_ex else n_k
+            full = np.zeros((want,) + v0.shape[1:], v0.dtype)
+            ofs = 0
+            for p in parts:
+                full[ofs:ofs + p[k].shape[0]] = p[k]
+                ofs += p[k].shape[0]
+            out[k] = full
+        elif isinstance(v0, list):
+            out[k] = [x for p in parts for x in p[k]]
+        else:
+            out[k] = v0
+    return out
+
+
+_CHILD_SHM = {}  # name -> SharedMemory, cached per worker process
+
+
+def _attach_shm(name):
+    shm = _CHILD_SHM.get(name)
+    if shm is None:
+        from multiprocessing import shared_memory
+
+        try:  # 3.13+: don't resource-track a segment we didn't create
+            shm = shared_memory.SharedMemory(name=name, track=False)
+        except TypeError:
+            shm = shared_memory.SharedMemory(name=name)
+            try:
+                from multiprocessing import resource_tracker
+
+                resource_tracker.unregister(shm._name, "shared_memory")
+            except Exception:
+                pass
+        _CHILD_SHM[name] = shm
+    return shm
+
+
+def _fork_collate_into_shm(args):
+    """Worker task for worker_type='shm': decode + collate a contiguous
+    shard, then write each array straight into its slice of the parent's
+    shared-memory segment. Only non-array collate outputs travel back
+    through pickle (tiny). The layout carries (shape, dtype, byte offset,
+    rows-per-example inverse ratio) per key."""
+    name, layout, a, idxs, seeds, t_b, r_b = args
+    ds, collate = _FORK_STATE
+    recs = [ds.get_record(i, np.random.RandomState(s))
+            for i, s in zip(idxs, seeds)]
+    part = collate(recs, t_b, r_b, len(recs))
+    shm = _attach_shm(name)
+    extras = {}
+    for k, v in part.items():
+        spec = layout.get(k)
+        if spec is None or not isinstance(v, np.ndarray):
+            extras[k] = v
+            continue
+        shape, dtype, offset, r_inv = spec
+        arr = np.ndarray(shape, dtype, buffer=shm.buf, offset=offset)
+        lo = a // r_inv
+        arr[lo:lo + v.shape[0]] = v
+    return extras
+
+
+class _ShmRing:
+    """Per-bucket-shape ring of shared-memory segments holding whole
+    collated batches. A segment is reused after ``depth`` newer batches —
+    consumers (device_put / DevicePrefetcher at depth 2) are done with the
+    host arrays well before that."""
+
+    def __init__(self, depth: int = 4):
+        self.depth = depth
+        self.segs: Dict[Any, list] = {}
+        self.idx: Dict[Any, int] = {}
+        self.layouts: Dict[Any, dict] = {}
+        self.rho: Dict[Any, int] = {}  # rows per example (paired: 2)
+
+    def layout_from_template(self, key, batch, n_examples):
+        """Record key -> (shape, dtype, offset, r_inv) and size the ring's
+        segments from a serially-collated template batch. r_inv is the
+        key's rows divisor relative to the batch's max row count (NLVR2
+        paired: input rows at r_inv=1, per-pair targets at r_inv=2)."""
+        from multiprocessing import shared_memory
+
+        n_rows = max((v.shape[0] for v in batch.values()
+                      if isinstance(v, np.ndarray) and v.ndim >= 1),
+                     default=0)
+        if not n_rows or n_rows % max(n_examples, 1):
+            self.layouts[key] = {}
+            return {}
+        self.rho[key] = n_rows // n_examples
+        layout, offset = {}, 0
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0]:
+                r_inv = max(n_rows // v.shape[0], 1)
+                if v.shape[0] * r_inv != n_rows:
+                    continue  # rows not example-proportional: pickle it
+                offset = (offset + 127) & ~127  # cacheline-align slices
+                layout[k] = (v.shape, v.dtype, offset, r_inv)
+                offset += v.nbytes
+        self.layouts[key] = layout
+        self.segs[key] = [shared_memory.SharedMemory(create=True,
+                                                     size=max(offset, 1))
+                          for _ in range(self.depth)]
+        self.idx[key] = 0
+        return layout
+
+    def next_segment(self, key):
+        segs = self.segs[key]
+        self.idx[key] = (self.idx[key] + 1) % len(segs)
+        return segs[self.idx[key]]
+
+    def close(self):
+        for segs in self.segs.values():
+            for s in segs:
+                try:
+                    s.close()
+                    s.unlink()
+                except Exception:
+                    pass
+        self.segs.clear()
 
 
 class BucketLoader:
@@ -82,16 +222,21 @@ class BucketLoader:
         # "thread": ThreadPoolExecutor — decode's heavy pieces (lmdbx mmap
         # reads, lz4 frames, large numpy ops) release the GIL, so threads
         # scale on multi-core hosts with near-zero IPC cost. "process":
-        # fork-based pool for GIL-bound decode mixes (python-heavy record
-        # post-processing) — children inherit the read-only store mmaps
-        # (fork-safe: native/lmdbx.cc maps PROT_READ, no shared mutable
-        # state); records come back pickled. Both are deterministic: the
-        # per-record RNG seeds are drawn in the parent (see _fetch).
+        # fork-based pool for GIL-bound decode mixes — children inherit the
+        # read-only store mmaps (fork-safe: native/lmdbx.cc maps PROT_READ,
+        # no shared mutable state); each worker decodes AND collates a
+        # contiguous batch shard, returned pickled. "shm": process pool
+        # whose workers collate straight into a shared-memory ring — zero
+        # parent-side copies (the batch bytes are ~50MB at fine-tune
+        # shapes, so pickle IPC is the cap the torch DataLoader's shm
+        # design avoids). All modes are deterministic: the per-record RNG
+        # seeds are drawn in the parent (see _fetch/_make_batch).
         worker_type = worker_type or os.environ.get(
             "UNITER_WORKER_TYPE", "thread")
-        if worker_type not in ("thread", "process"):
+        if worker_type not in ("thread", "process", "shm"):
             raise ValueError(f"worker_type {worker_type!r}")
         self.worker_type = worker_type
+        self._shm_ring = None
         if num_workers > 0 and worker_type == "thread":
             from concurrent.futures import ThreadPoolExecutor
 
@@ -99,13 +244,15 @@ class BucketLoader:
         elif num_workers > 0:
             import multiprocessing as mp
 
-            global _FORK_DATASET
-            _FORK_DATASET = dataset
-            # fork NOW so the children capture THIS loader's dataset via
-            # the module global (initargs would have to pickle the ctypes
-            # store handles); Pool() forks its workers eagerly
+            global _FORK_STATE
+            _FORK_STATE = (dataset, self.collate)
+            # fork NOW so the children capture THIS loader's dataset +
+            # collate via the module global (initargs would have to pickle
+            # the ctypes store handles); Pool() forks its workers eagerly
             self._proc_pool = mp.get_context("fork").Pool(num_workers)
-            _FORK_DATASET = None
+            _FORK_STATE = None
+            if worker_type == "shm":
+                self._shm_ring = _ShmRing()
         rows = getattr(dataset, "rows_per_example", 1)
         sizes = [dataset.size_of(i) for i in range(len(dataset))]
         self.sampler = StaticBucketSampler(
@@ -121,6 +268,9 @@ class BucketLoader:
             self._proc_pool.terminate()
             self._proc_pool.join()
             self._proc_pool = None
+        if self._shm_ring is not None:
+            self._shm_ring.close()
+            self._shm_ring = None
         if self._pool is not None:
             self._pool.shutdown(wait=False)
             self._pool = None
@@ -151,11 +301,72 @@ class BucketLoader:
                 lambda iv: self.dataset.get_record(
                     iv[0], np.random.RandomState(iv[1])),
                 zip(idxs, seeds)))
-        if self._proc_pool is not None:
-            return self._proc_pool.map(
-                _fork_get_record, list(zip(idxs, seeds)))
         return [self.dataset.get_record(i, np.random.RandomState(s))
                 for i, s in zip(idxs, seeds)]
+
+    def _make_batch(self, idxs, rng, t_b, r_b, bs):
+        if self._proc_pool is not None:
+            # one seed draw per record, exactly like _fetch (keeps
+            # skip_batches' draw accounting valid across worker types)
+            seeds = rng.randint(2**31, size=len(idxs)).tolist()
+            if self._shm_ring is not None:
+                return self._make_batch_shm(idxs, seeds, t_b, r_b, bs)
+            w = min(self.num_workers, max(len(idxs) // 8, 1))
+            bounds = np.linspace(0, len(idxs), w + 1).astype(int)
+            tasks = [(list(idxs[a:b]), seeds[a:b], t_b, r_b)
+                     for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+            parts = self._proc_pool.map(_fork_collate_shard, tasks)
+            return _assemble_shards(parts, bs, len(idxs))
+        return self.collate(self._fetch(idxs, rng), t_b, r_b, bs)
+
+    def _make_batch_shm(self, idxs, seeds, t_b, r_b, bs):
+        """Zero-copy assembly: workers collate contiguous shards directly
+        into a shared-memory segment; the yielded arrays VIEW that segment
+        (valid for the ring depth — consumers transfer/copy well within
+        it). First batch of a bucket shape runs serially to establish the
+        layout; partial (eval-tail) batches fall back to serial."""
+        import math
+
+        key = (t_b, r_b, bs)
+        layout = self._shm_ring.layouts.get(key)
+        if layout is None or len(idxs) != bs:
+            recs = [self.dataset.get_record(i, np.random.RandomState(s))
+                    for i, s in zip(idxs, seeds)]
+            batch = self.collate(recs, t_b, r_b, bs)
+            if layout is None and len(idxs) == bs:
+                self._shm_ring.layout_from_template(key, batch, bs)
+            return batch
+        if not layout:  # template had no example-proportional rows
+            recs = [self.dataset.get_record(i, np.random.RandomState(s))
+                    for i, s in zip(idxs, seeds)]
+            return self.collate(recs, t_b, r_b, bs)
+        seg = self._shm_ring.next_segment(key)
+        rho = self._shm_ring.rho[key]
+        align_r = 1  # row alignment every key's r_inv divides
+        for (_, _, _, r_inv) in layout.values():
+            align_r = align_r * r_inv // math.gcd(align_r, r_inv)
+        align_e = align_r // math.gcd(align_r, rho)  # in example units
+        if bs % align_e:
+            recs = [self.dataset.get_record(i, np.random.RandomState(s))
+                    for i, s in zip(idxs, seeds)]
+            return self.collate(recs, t_b, r_b, bs)
+        n_units = bs // align_e
+        w = min(self.num_workers, max(n_units, 1))
+        bounds = np.linspace(0, n_units, w + 1).astype(int) * align_e
+        tasks = [(seg.name, layout, int(a) * rho, list(idxs[a:b]),
+                  seeds[a:b], t_b, r_b)
+                 for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+        extras_parts = self._proc_pool.map(_fork_collate_into_shm, tasks)
+        batch = {k: np.ndarray(shape, dtype, buffer=seg.buf, offset=off)
+                 for k, (shape, dtype, off, _) in layout.items()}
+        for k, v0 in extras_parts[0].items():
+            if isinstance(v0, list):
+                batch[k] = [x for p in extras_parts for x in p[k]]
+            elif isinstance(v0, np.ndarray):
+                batch[k] = np.concatenate([p[k] for p in extras_parts])
+            else:
+                batch[k] = v0
+        return batch
 
     def skip_batches(self, n: int):
         """Resume fast-forward: advance the loader as if ``n`` batches had
@@ -216,7 +427,7 @@ class BucketLoader:
                 self._skip -= 1
                 rng.randint(2**31, size=len(my))
                 continue
-            yield self.collate(self._fetch(my, rng), t_b, r_b, local_bs)
+            yield self._make_batch(my, rng, t_b, r_b, local_bs)
 
     def __iter__(self):
         if not self.loop:

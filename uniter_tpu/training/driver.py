@@ -106,10 +106,14 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="accepted for config compat; bf16 is used")
     parser.add_argument("--n_workers", type=int, default=4)
     parser.add_argument("--worker_type", default="thread",
-                        choices=["thread", "process"],
+                        choices=["thread", "process", "shm"],
                         help="decode-worker pool: threads (lmdbx/lz4/numpy "
-                             "release the GIL; near-zero IPC) or fork "
-                             "processes (for GIL-bound record mixes)")
+                             "release the GIL; near-zero IPC), fork "
+                             "processes (GIL-proof; shards return pickled) "
+                             "or shm (GIL-proof, zero-copy: workers "
+                             "collate into a shared-memory ring; host "
+                             "reads of a yielded batch must finish within "
+                             "4 batches)")
     parser.add_argument("--pin_mem", action="store_true")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of a few hot-loop "
