@@ -32,7 +32,7 @@ M_IMG = 12   # mrm slots (~15% of R)
 IMG_DIM, IMG_LABEL_DIM = 2048, 1601
 K = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "8"))
 
-TASKS = ["mlm", "mrfr", "mrc-kl", "itm", "itm_no_ot"]
+TASKS = ["mlm", "mrfr", "mrc-kl", "itm", "itm_no_ot", "itm_ot_xla"]
 
 
 def make_batch(task, rng):
@@ -100,7 +100,14 @@ def main():
 
     for name in TASKS:
         task = "itm" if name.startswith("itm") else name
-        ot_lambda = 0.1 if name == "itm" else 0.0
+        ot_lambda = 0.0 if name == "itm_no_ot" else (
+            0.1 if name.startswith("itm") else 0.0)
+        # itm = fused Pallas IPOT kernel (the accelerator default);
+        # itm_ot_xla = the lax.scan reference for the A/B
+        if name == "itm_ot_xla":
+            os.environ["UNITER_OT_IMPL"] = "xla"
+        else:
+            os.environ.pop("UNITER_OT_IMPL", None)
 
         def loss_fn(p, batch, r, _task=task, _ot=ot_lambda):
             scalar, metrics = model.apply(

@@ -132,3 +132,50 @@ np.testing.assert_allclose(np.asarray(f0_1(qa, ka, va)),
                            np.asarray(f0_2(qa, ka, va)),
                            rtol=1e-6, atol=1e-6)
 print("attention bb=2: fwd/grad replay + bb1==bb2 (rate 0) OK")
+
+# ---- head-chunked grid (r4): bc=2 with hc < H must equal bc=1 ----
+# force the selector into head-chunking by shrinking the bc>1 budget so
+# the all-heads working set overflows (the uniter-large case at real
+# shapes, reproduced at check scale)
+import os as _os
+
+_os.environ["UNITER_ATTN_VMEM_BUDGET"] = "70000"  # admits (bc=2, hc=2), not (2, 4)
+f0_hc = jax.jit(lambda q, k, v: multi_head_attention(
+    q, k, v, bias_a, impl="pallas", batch_block=2))
+out_hc = np.asarray(f0_hc(qa, ka, va))
+_os.environ.pop("UNITER_ATTN_VMEM_BUDGET")
+np.testing.assert_allclose(out_hc, np.asarray(f0_1(qa, ka, va)),
+                           rtol=1e-6, atol=1e-6)
+# dropout replay under the head-chunked grid
+_os.environ["UNITER_ATTN_VMEM_BUDGET"] = "70000"
+fhc = jax.jit(lambda q, k, v: attn_bb(q, k, v, 2))
+h1 = np.asarray(fhc(qa, ka, va))
+h2 = np.asarray(fhc(qa, ka, va))
+assert np.array_equal(h1, h2), "head-chunked fwd replay mismatch"
+ghc = jax.jit(jax.grad(lambda q, k, v: jnp.sum(attn_bb(q, k, v, 2) ** 2),
+                       argnums=(0, 1, 2)))
+hg1 = ghc(qa, ka, va)
+hg2 = ghc(qa, ka, va)
+for a_, b_ in zip(hg1, hg2):
+    assert np.array_equal(np.asarray(a_), np.asarray(b_)), \
+        "head-chunked grad replay mismatch"
+_os.environ.pop("UNITER_ATTN_VMEM_BUDGET")
+print("attention head-chunked grid (bc=2, hc<H): parity + replay OK")
+
+# ---- fused IPOT kernel vs the lax.scan reference (r4) ----
+from uniter_tpu.ops.ot import optimal_transport_dist
+
+Bo, Mo, No, Do = 8, 40, 24, 64
+txt_o = jnp.asarray(rng.randn(Bo, Mo, Do), jnp.float32)
+img_o = jnp.asarray(rng.randn(Bo, No, Do), jnp.float32)
+tl = rng.randint(3, Mo + 1, Bo)
+il = rng.randint(2, No + 1, Bo)
+tp = jnp.asarray(np.arange(Mo)[None] >= tl[:, None])
+ip = jnp.asarray(np.arange(No)[None] >= il[:, None])
+d_p = np.asarray(jax.jit(lambda a, b: optimal_transport_dist(
+    a, b, tp, ip, impl="pallas"))(txt_o, img_o))
+d_x = np.asarray(jax.jit(lambda a, b: optimal_transport_dist(
+    a, b, tp, ip, impl="xla"))(txt_o, img_o))
+np.testing.assert_allclose(d_p, d_x, rtol=1e-5, atol=1e-6)
+print("fused IPOT kernel == lax.scan reference on hardware OK")
+print("R4 KERNEL CHECKS ALL OK")

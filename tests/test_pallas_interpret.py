@@ -137,3 +137,35 @@ def test_ln_drop_kernel_interpret():
     for a, e in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_ipot_kernel_interpret():
+    """Fused IPOT loop kernel == the lax.scan reference (ops/ot.py ipot),
+    including padded rows/cols and the trace-distance consumer."""
+    from uniter_tpu.ops.ot import optimal_transport_dist
+
+    rng = np.random.RandomState(3)
+    B, M, N, D = 4, 12, 8, 16
+    txt = jnp.asarray(rng.randn(B, M, D), jnp.float32)
+    img = jnp.asarray(rng.randn(B, N, D), jnp.float32)
+    txt_lens = np.array([12, 7, 3, 12])
+    img_lens = np.array([8, 8, 2, 5])
+    txt_pad = jnp.asarray(np.arange(M)[None] >= txt_lens[:, None])
+    img_pad = jnp.asarray(np.arange(N)[None] >= img_lens[:, None])
+
+    d_x = np.asarray(optimal_transport_dist(
+        txt, img, txt_pad, img_pad, impl="xla"))
+    d_p = np.asarray(optimal_transport_dist(
+        txt, img, txt_pad, img_pad, impl="pallas"))
+    np.testing.assert_allclose(d_p, d_x, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(d_p).all()
+
+    # gradients flow only through the cost matrix (T under stop_gradient):
+    # both impls must produce identical embedding grads
+    g_x = jax.grad(lambda a, b: jnp.sum(optimal_transport_dist(
+        a, b, txt_pad, img_pad, impl="xla")), argnums=(0, 1))(txt, img)
+    g_p = jax.grad(lambda a, b: jnp.sum(optimal_transport_dist(
+        a, b, txt_pad, img_pad, impl="pallas")), argnums=(0, 1))(txt, img)
+    for a, e in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-5, atol=1e-6)

@@ -102,13 +102,17 @@ def collate_joint(
     """
     n = len(records)
     assert n <= batch_size
-    d = records[0]["img_feat"].shape[1] if records[0].get("img_feat") is not None else 0
+    feat0 = records[0].get("img_feat")
+    d = feat0.shape[1] if feat0 is not None else 0
+    # batch dtype follows the records (released stores are fp16: exact in
+    # fp32/bf16, half the collate copy bytes — the hot host-side memcpy)
+    fdt = feat0.dtype if feat0 is not None else np.float32
     batch = {
         "input_ids": np.zeros((batch_size, t_bucket), np.int32),
         "position_ids": np.broadcast_to(
             np.arange(t_bucket, dtype=np.int32), (batch_size, t_bucket)
         ).copy(),
-        "img_feat": np.zeros((batch_size, r_bucket, d), np.float32),
+        "img_feat": np.zeros((batch_size, r_bucket, d), fdt),
         "img_pos_feat": np.zeros((batch_size, r_bucket, 7), np.float32),
         "attn_mask": np.zeros((batch_size, t_bucket + r_bucket), np.int32),
         "ex_weight": np.zeros((batch_size,), np.float32),

@@ -162,7 +162,12 @@ class DetectFeatDb:
     def __getitem__(self, file_name: str) -> Tuple[np.ndarray, np.ndarray]:
         d = self._decode(self.store[file_name], keys=("features", "norm_bb"))
         nbb = self.name2nbb[file_name]
-        feat = np.asarray(d["features"][:nbb], dtype=np.float32)
+        # features keep the store dtype (released DBs: fp16) — fp16 values
+        # are exactly representable in fp32/bf16, so every downstream cast
+        # (collate copy, bf16 wire, compute-dtype cast in the model) is
+        # bit-identical to the old eager fp32 conversion, at half the host
+        # copy/convert bytes (the decode pipeline's dominant cost)
+        feat = np.asarray(d["features"][:nbb])
         bb = np.asarray(d["norm_bb"][:nbb], dtype=np.float32)
         return feat, bb
 

@@ -71,26 +71,22 @@ def _assemble_shards(parts, bs, n_ex):
     return out
 
 
-_CHILD_SHM = {}  # name -> SharedMemory, cached per worker process
+_CHILD_SHM = {}  # name -> mmap, cached per worker process
 
 
 def _attach_shm(name):
-    shm = _CHILD_SHM.get(name)
-    if shm is None:
-        from multiprocessing import shared_memory
+    """Map a parent-created shared-memory segment in a worker via its
+    /dev/shm file directly — multiprocessing.SharedMemory(name=...) would
+    enroll the attachment in the resource tracker (3.12 behavior), whose
+    unlink bookkeeping then races the parent's at pool teardown."""
+    m = _CHILD_SHM.get(name)
+    if m is None:
+        import mmap
 
-        try:  # 3.13+: don't resource-track a segment we didn't create
-            shm = shared_memory.SharedMemory(name=name, track=False)
-        except TypeError:
-            shm = shared_memory.SharedMemory(name=name)
-            try:
-                from multiprocessing import resource_tracker
-
-                resource_tracker.unregister(shm._name, "shared_memory")
-            except Exception:
-                pass
-        _CHILD_SHM[name] = shm
-    return shm
+        with open("/dev/shm/" + name.lstrip("/"), "r+b") as f:
+            m = mmap.mmap(f.fileno(), 0)
+        _CHILD_SHM[name] = m
+    return m
 
 
 def _fork_collate_into_shm(args):
@@ -112,7 +108,7 @@ def _fork_collate_into_shm(args):
             extras[k] = v
             continue
         shape, dtype, offset, r_inv = spec
-        arr = np.ndarray(shape, dtype, buffer=shm.buf, offset=offset)
+        arr = np.ndarray(shape, dtype, buffer=shm, offset=offset)
         lo = a // r_inv
         arr[lo:lo + v.shape[0]] = v
     return extras
