@@ -92,6 +92,30 @@ def test_train_vqa_e2e(env):
     assert os.path.exists(env["root"] + "/vqa_inf/logits.npz")
 
 
+def test_train_vqa_shm_workers_e2e(env):
+    """The zero-copy shared-memory decode pool drives a full training run
+    through the CLI surface (workers collate into the shm ring; padding
+    rows, val loop, checkpointing all unchanged)."""
+    import train_vqa
+    from uniter_tpu.utils.misc import parse_with_config
+
+    argv = [
+        "--train_txt_db", env["txt"], "--train_img_db", env["img"],
+        "--val_txt_db", env["txt"], "--val_img_db", env["img"],
+        "--model_config", env["cfg"],
+        "--output_dir", env["root"] + "/vqa_shm_out",
+        "--num_answer", "7",
+        "--train_batch_size", "256", "--val_batch_size", "256",
+        "--num_train_steps", "2", "--valid_steps", "2",
+        "--warmup_steps", "1", "--max_bb", "10", "--min_bb", "3",
+        "--dtype", "float32", "--seed", "1",
+        "--n_workers", "2", "--worker_type", "shm",
+    ]
+    opts = parse_with_config(train_vqa.get_parser(), argv)
+    state = train_vqa.main(opts)
+    assert int(state.step) == 2
+
+
 def test_pretrain_e2e(env):
     import pretrain
     from uniter_tpu.utils.misc import parse_with_config
