@@ -186,6 +186,49 @@ def test_loader_identical_with_process_workers(wt):
         np.testing.assert_array_equal(x["noise"], y["noise"])
 
 
+class _EpochDs(_SkipDs):
+    """new_epoch mutates dataset state (the ITM-negatives / RE-shuffle
+    pattern) — fork pools must re-fork to see it."""
+
+    def __init__(self, n):
+        super().__init__(n)
+        self.epoch_salt = 0
+
+    def new_epoch(self, rng):
+        self.epoch_salt += 1000
+
+    def get_record(self, i, rng):
+        return {"idx": i + self.epoch_salt,
+                "noise": int(rng.randint(1_000_000))}
+
+
+@pytest.mark.parametrize("wt", ["process", "shm"])
+def test_epoch_resample_reaches_fork_workers(wt):
+    """Epoch-2 batches must reflect dataset.new_epoch() mutations even
+    though the records are decoded in forked workers (the pool re-forks
+    after every resample)."""
+    from uniter_tpu.data.buckets import BucketSpec
+    from uniter_tpu.data.loader import BucketLoader
+
+    spec = BucketSpec(txt_buckets=(8,), img_buckets=(8,),
+                      token_budget=128, size_mul=8)
+    n_epoch_batches = len(BucketLoader(_EpochDs(40), spec, seed=5))
+    n = n_epoch_batches + 2  # reach into epoch 2
+    a = _batches(BucketLoader(_EpochDs(40), spec, seed=5, loop=True), n)
+    loader = BucketLoader(_EpochDs(40), spec, seed=5, loop=True,
+                          num_workers=2, worker_type=wt)
+    try:
+        import itertools
+        b = [{k: np.array(v) for k, v in d.items()}
+             for d in itertools.islice(iter(loader), n)]
+    finally:
+        loader.close()
+    assert (a[-1]["idx"] >= 1000).all()  # epoch-2 salt visible at all
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+        np.testing.assert_array_equal(x["noise"], y["noise"])
+
+
 class _PairedDs:
     """2 rows/example + a per-PAIR target key (the NLVR2-paired ratio
     shape) to exercise the shm layout's r_inv handling."""

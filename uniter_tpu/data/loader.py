@@ -238,15 +238,7 @@ class BucketLoader:
 
             self._pool = ThreadPoolExecutor(num_workers)
         elif num_workers > 0:
-            import multiprocessing as mp
-
-            global _FORK_STATE
-            _FORK_STATE = (dataset, self.collate)
-            # fork NOW so the children capture THIS loader's dataset +
-            # collate via the module global (initargs would have to pickle
-            # the ctypes store handles); Pool() forks its workers eagerly
-            self._proc_pool = mp.get_context("fork").Pool(num_workers)
-            _FORK_STATE = None
+            self._fork_pool()
             if worker_type == "shm":
                 self._shm_ring = _ShmRing()
         rows = getattr(dataset, "rows_per_example", 1)
@@ -258,6 +250,24 @@ class BucketLoader:
         )
         self._epoch = 0
         self._skip = 0  # pending resume fast-forward (see skip_batches)
+
+    def _fork_pool(self):
+        """(Re)create the fork worker pool capturing the CURRENT dataset
+        state. Fork now so the children inherit this loader's dataset +
+        collate via the module global (initargs would have to pickle the
+        ctypes store handles); Pool() forks its workers eagerly. Called
+        again after every dataset.new_epoch() — epoch resampling (ITM
+        negatives, RE shuffles) mutates the parent's dataset, which the
+        already-forked children would never see."""
+        import multiprocessing as mp
+
+        global _FORK_STATE
+        if self._proc_pool is not None:
+            self._proc_pool.terminate()
+            self._proc_pool.join()
+        _FORK_STATE = (self.dataset, self.collate)
+        self._proc_pool = mp.get_context("fork").Pool(self.num_workers)
+        _FORK_STATE = None
 
     def close(self):
         if self._proc_pool is not None:
@@ -387,6 +397,9 @@ class BucketLoader:
             new_epoch = getattr(self.dataset, "new_epoch", None)
             if new_epoch is not None and self._epoch > 1:
                 new_epoch(rng)
+                if self._proc_pool is not None:
+                    # forked children hold the PRE-resample dataset
+                    self._fork_pool()
                 # NOTE: grouped partial-run carry dies with the old
                 # sampler here — the resample invalidates the carried
                 # batches' indices and bucket keys; next epoch re-plans
