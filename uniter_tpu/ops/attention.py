@@ -256,8 +256,12 @@ def _mha_pallas_raw(q, k, v, bias, seed, rate, native=False, bb=1):
         b, h, s, d = q.shape
         spec = _bhsd_spec
     bias = bias.reshape(b, 1, s)
-    # chunk sizes must MATCH the backward pass so dropout streams replay
-    bc, hc = _grid_blocks(b, h, s, d, n_bufs=7, requested=bb)
+    # at rate>0 chunk sizes must MATCH the backward pass so dropout
+    # streams replay (budget for the bwd's 7 buffers); at rate==0 there is
+    # no replay constraint and the forward holds only q/k/v/o — the
+    # smaller working set admits bigger batch blocks (retrieval scoring)
+    n_bufs = 7 if rate > 0.0 else 4
+    bc, hc = _grid_blocks(b, h, s, d, n_bufs=n_bufs, requested=bb)
     kernel = functools.partial(
         _mha_fwd_kernel, sm_scale=1.0 / (d**0.5), rate=rate, native=native
     )
