@@ -510,6 +510,18 @@ def test_wire_codec_int8_roundtrip_and_training():
     out16 = device_put_batch(dict(batch), mesh, wire_codec="int8",
                              transfer_dtype=jnp.bfloat16)
     assert np.asarray(out16["img_feat"]).dtype == jnp.bfloat16
+    # fp16 feature sources (r4 default collate dtype): the int8 codec must
+    # still fire, and the plain path ships fp16 AS-IS (a host bf16 cast
+    # would add work without shrinking the 2-byte wire)
+    b16 = dict(batch, img_feat=batch["img_feat"].astype(np.float16))
+    o_q = device_put_batch(dict(b16), mesh, wire_codec="int8",
+                           transfer_dtype=jnp.bfloat16)
+    assert np.asarray(o_q["img_feat"]).dtype == jnp.bfloat16
+    tol16 = np.abs(b16["img_feat"]).max(-1, keepdims=True) / 127 + 1e-2
+    assert (np.abs(np.asarray(o_q["img_feat"], np.float32)
+                   - b16["img_feat"].astype(np.float32)) <= tol16).all()
+    o_p = device_put_batch(dict(b16), mesh, transfer_dtype=jnp.bfloat16)
+    assert np.asarray(o_p["img_feat"]).dtype == np.float16
     # accum layout: [k, B, ...] quantizes along the last axis the same way
     stacked = {k: np.broadcast_to(v, (2,) + v.shape).copy()
                for k, v in batch.items() if isinstance(v, np.ndarray)}

@@ -29,8 +29,11 @@ from uniter_tpu.data.sampler import StaticBucketSampler
 # handoff slot for fork-based worker pools: set immediately before the
 # Pool() fork so children capture the owning loader's (dataset, collate)
 # (the ctypes store handles can't be pickled through initargs), cleared
-# after.
+# after. _FORK_LOCK serializes concurrent forks (e.g. an epoch re-fork on
+# the prefetch thread racing another loader's construction) so children
+# never capture another loader's state.
 _FORK_STATE = None
+_FORK_LOCK = threading.Lock()
 
 
 def _fork_collate_shard(args):
@@ -167,6 +170,12 @@ class _ShmRing:
             for s in segs:
                 try:
                     s.close()
+                except Exception:
+                    # live numpy views raise BufferError on close; the
+                    # segment must STILL be unlinked or /dev/shm leaks a
+                    # whole batch per segment for the process lifetime
+                    pass
+                try:
                     s.unlink()
                 except Exception:
                     pass
@@ -265,9 +274,10 @@ class BucketLoader:
         if self._proc_pool is not None:
             self._proc_pool.terminate()
             self._proc_pool.join()
-        _FORK_STATE = (self.dataset, self.collate)
-        self._proc_pool = mp.get_context("fork").Pool(self.num_workers)
-        _FORK_STATE = None
+        with _FORK_LOCK:
+            _FORK_STATE = (self.dataset, self.collate)
+            self._proc_pool = mp.get_context("fork").Pool(self.num_workers)
+            _FORK_STATE = None
 
     def close(self):
         if self._proc_pool is not None:
@@ -317,6 +327,13 @@ class BucketLoader:
             seeds = rng.randint(2**31, size=len(idxs)).tolist()
             if self._shm_ring is not None:
                 return self._make_batch_shm(idxs, seeds, t_b, r_b, bs)
+            if len(idxs) != bs:
+                # partial (eval-tail) batch: the serial collate owns the
+                # padding-row semantics (position_ids arange, -1 labels);
+                # zero-padding shards here would diverge from serial
+                return self.collate(
+                    [self.dataset.get_record(i, np.random.RandomState(s))
+                     for i, s in zip(idxs, seeds)], t_b, r_b, bs)
             w = min(self.num_workers, max(len(idxs) // 8, 1))
             bounds = np.linspace(0, len(idxs), w + 1).astype(int)
             tasks = [(list(idxs[a:b]), seeds[a:b], t_b, r_b)
@@ -475,6 +492,12 @@ class AccumLoader:
             it.set_group(accum)
         self.it = iter(it)
         self.accum = accum
+        # shm batches VIEW ring segments reused after ring-depth newer
+        # batches; buffering `accum` of them live (accum/steps_per_call
+        # can exceed the depth) would read overwritten memory — copy at
+        # intake instead (still one copy, at np.stack's own cost point)
+        self._copy = (getattr(it, "worker_type", None) == "shm"
+                      and getattr(it, "num_workers", 0) > 0)
 
     def skip_batches(self, n: int):
         """Resume fast-forward: n stacked batches = n * accum base batches
@@ -488,6 +511,9 @@ class AccumLoader:
             return
         buffers: Dict[tuple, list] = {}
         for batch in self.it:
+            if self._copy:
+                batch = {k: (np.array(v) if isinstance(v, np.ndarray)
+                             else v) for k, v in batch.items()}
             key = tuple(
                 (k, v.shape) for k, v in sorted(batch.items())
                 if isinstance(v, np.ndarray))

@@ -105,7 +105,7 @@ def add_common_args(parser: argparse.ArgumentParser):
     parser.add_argument("--fp16", action="store_true",
                         help="accepted for config compat; bf16 is used")
     parser.add_argument("--n_workers", type=int, default=4)
-    parser.add_argument("--worker_type", default="thread",
+    parser.add_argument("--worker_type", default=None,
                         choices=["thread", "process", "shm"],
                         help="decode-worker pool: threads (lmdbx/lz4/numpy "
                              "release the GIL; near-zero IPC), fork "
@@ -270,8 +270,12 @@ def load_trunk_checkpoint(params, opts, model_cfg, *,
 
 
 def model_config_from_opts(opts, **overrides) -> UniterConfig:
-    cfg = UniterConfig.from_json_file(
-        opts.model_config, dtype=opts.dtype,
+    import json as _json
+
+    with open(opts.model_config) as f:
+        raw = _json.load(f)  # parsed ONCE; also consulted for explicit keys
+    cfg = UniterConfig.from_dict(
+        raw, dtype=opts.dtype,
         attention_impl=getattr(opts, "attention_impl", "auto"),
         block_fusion=getattr(opts, "block_fusion", "auto"),
         dropout_impl=getattr(opts, "dropout_impl", "xla"), **overrides)
@@ -294,15 +298,8 @@ def model_config_from_opts(opts, **overrides) -> UniterConfig:
     # attn_batch_block precedence: CLI flag > model-config JSON (explicit
     # key only — the dataclass default of 1 is not a choice) > accelerator
     # default of 2
-    abb = int(getattr(opts, "attn_batch_block", 0) or 0)
-    if not abb:
-        try:
-            import json as _json
-
-            with open(opts.model_config) as f:
-                abb = int(_json.load(f).get("attn_batch_block", 0) or 0)
-        except Exception:
-            abb = 0
+    abb = (int(getattr(opts, "attn_batch_block", 0) or 0)
+           or int(raw.get("attn_batch_block", 0) or 0))
     if jax.default_backend() != "cpu":
         # bc=2 batch elements per attention grid step: +0.6% measured
         # (1927.6 vs 1915.5 ex/s); the kernel clamps to a divisor of B

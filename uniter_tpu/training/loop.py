@@ -147,13 +147,18 @@ def device_put_batch(batch: Dict[str, Any], mesh, accum: bool = False,
         # the full global candidate batch would do n_processes x the work
         v = local_block(k, v)
         if (wire_codec == "int8" and k in WIRE_INT8_KEYS
-                and v.dtype == np.float32):
+                and np.issubdtype(v.dtype, np.floating)):
+            # any float source (r4 collates carry the stores' fp16)
             q, scale = _quantize_wire_int8(v)
             out[k] = (put_one(q), put_one(scale))
             dequant.append(k)
             continue
         if (transfer_dtype is not None and k in TRANSFER_CAST_KEYS
-                and v.dtype == np.float32):
+                and np.issubdtype(v.dtype, np.floating)
+                and v.dtype.itemsize > np.dtype(transfer_dtype).itemsize):
+            # cast only when it SHRINKS wire bytes (fp32 -> bf16); fp16
+            # sources already ship at 2 bytes — the model's compute-dtype
+            # cast runs on device for free
             v = v.astype(transfer_dtype)
         out[k] = put_one(v)
     for k in dequant:
