@@ -169,3 +169,33 @@ def test_ipot_kernel_interpret():
     for a, e in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_attention_fwd_only_budget_divergent_grids(monkeypatch):
+    """rate=0: the forward budgets 4 buffers and may pick a LARGER batch
+    block than the 7-buffer backward — legal without dropout replay; both
+    must still match the XLA reference (this budget admits fwd (2,4) vs
+    bwd (2,2) at these shapes)."""
+    from uniter_tpu.ops.attention import _grid_blocks, multi_head_attention
+
+    monkeypatch.setenv("UNITER_ATTN_VMEM_BUDGET", "26000")
+    B, S, H, D = 2, 16, 4, 8
+    assert _grid_blocks(B, H, S, D, n_bufs=4, requested=2) == (2, 4)
+    assert _grid_blocks(B, H, S, D, n_bufs=7, requested=2) == (2, 2)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    bias = jnp.zeros((B, S), jnp.float32).at[:, 12:].set(-10000.0)
+    out_p = np.asarray(multi_head_attention(q, k, v, bias, impl="pallas",
+                                            batch_block=2))
+    out_x = np.asarray(multi_head_attention(q, k, v, bias, impl="xla"))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
+    gp = jax.grad(lambda q, k, v: jnp.sum(multi_head_attention(
+        q, k, v, bias, impl="pallas", batch_block=2) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(multi_head_attention(
+        q, k, v, bias, impl="xla") ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
