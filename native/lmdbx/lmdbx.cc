@@ -314,14 +314,37 @@ struct WPage {
   PageHeader* hdr() { return reinterpret_cast<PageHeader*>(bytes.data()); }
 };
 
+// STREAMING builder: leaf + overflow pages are written to disk as keys
+// arrive (bounded memory — a full-split image DB is tens of GB); only the
+// per-leaf first keys stay resident for the branch build at finish. Pages
+// land at offset pgno*kPageSize in strictly increasing pgno order; the two
+// meta pages are back-patched at the end.
 class Builder {
  public:
-  // entries must arrive in sorted key order. Returns 0, or -1 for keys
-  // over LMDB's 511-byte maxkeysize (larger keys would both overflow the
-  // leaf page math here and produce a data.mdb stock liblmdb rejects).
-  int add(const uint8_t* key, size_t klen, const uint8_t* val, size_t vlen) {
-    if (klen > 511) {
+  explicit Builder(const char* path) : f_(fopen(path, "wb")) {
+    if (!f_) {
       error_ = true;
+      return;
+    }
+    // reserve pages 0,1 for the metas (back-patched in finish)
+    if (fseek(f_, long(2 * kPageSize), SEEK_SET) != 0) error_ = true;
+  }
+
+  ~Builder() {
+    if (f_) fclose(f_);
+  }
+
+  // entries must arrive in strictly increasing key order (B+tree bulk
+  // build). Returns 0, or -1 for out-of-order keys, keys over LMDB's
+  // 511-byte maxkeysize, or an earlier I/O error.
+  int add(const uint8_t* key, size_t klen, const uint8_t* val, size_t vlen) {
+    if (error_ || klen > 511) {
+      error_ = true;
+      return -1;
+    }
+    std::vector<uint8_t> k(key, key + klen);
+    if (entries_ && !(last_key_ < k)) {
+      error_ = true;  // unsorted input would build an unsearchable tree
       return -1;
     }
     size_t inline_sz = 8 + klen + vlen;
@@ -330,7 +353,7 @@ class Builder {
     node_sz = (node_sz + 1) & ~1ull;  // even alignment
     if (leaf_used_ + 2 + node_sz > kPageSize - kPageHdrSz) flush_leaf();
     LeafEntry e;
-    e.key.assign(key, key + klen);
+    e.key = k;
     if (big) {
       e.big = true;
       e.ov_pgno_slot = ov_values_.size();
@@ -343,39 +366,24 @@ class Builder {
     }
     leaf_used_ += 2 + node_sz;
     cur_leaf_.push_back(std::move(e));
+    last_key_ = std::move(k);
     entries_++;
-    return 0;
+    return error_ ? -1 : 0;
   }
 
-  int finish(const char* path) {
-    if (error_) return -1;
+  int finish() {
+    if (error_ || !f_) return -1;
     flush_leaf();
-    // assign page numbers: 0,1 metas; then leaves; then overflow; then
-    // branches (order is arbitrary — references are explicit pgnos)
-    uint64_t next_pg = 2;
-    for (auto& l : leaves_) l.pgno = next_pg++;
-    std::vector<uint64_t> ov_pgnos(ov_values_.size());
-    std::vector<uint32_t> ov_npages(ov_values_.size());
-    for (size_t i = 0; i < ov_values_.size(); i++) {
-      size_t npg =
-          (ov_values_[i].size() + kPageHdrSz + kPageSize - 1) / kPageSize;
-      ov_pgnos[i] = next_pg;
-      ov_npages[i] = npg;
-      next_pg += npg;
-    }
-    // build branch levels
+    // branch levels over the streamed-out leaves' first keys
     struct Ref {
       std::vector<uint8_t> first_key;
       uint64_t pgno;
     };
     std::vector<Ref> level;
-    for (auto& l : leaves_)
-      level.push_back({l.entries.empty() ? std::vector<uint8_t>{}
-                                         : l.entries[0].key,
-                       l.pgno});
+    level.reserve(leaf_refs_.size());
+    for (auto& [k, pg] : leaf_refs_) level.push_back({k, pg});
     uint16_t depth = 1;
-    std::vector<WPage> branch_pages;
-    uint64_t root = leaves_.empty() ? kInvalidPg : leaves_[0].pgno;
+    uint64_t root = level.empty() ? kInvalidPg : level[0].pgno;
     uint64_t n_branch = 0;
     while (level.size() > 1) {
       depth++;
@@ -395,7 +403,6 @@ class Builder {
           used += 2 + nsz;
           i++;
         }
-        // serialize branch nodes (upper grows down)
         uint16_t* pp = reinterpret_cast<uint16_t*>(wp.bytes.data() +
                                                    kPageHdrSz);
         size_t upper = kPageSize;
@@ -415,27 +422,20 @@ class Builder {
         }
         h->pb.lower = uint16_t(kPageHdrSz + 2 * members.size());
         h->pb.upper = uint16_t(upper);
-        h->pgno = next_pg;
-        next_level.push_back({level[members[0]].first_key, next_pg});
-        next_pg++;
+        h->pgno = next_pg_;
+        next_level.push_back({level[members[0]].first_key, next_pg_});
+        next_pg_++;
         n_branch++;
-        branch_pages.push_back(std::move(wp));
+        wr(wp.bytes.data(), kPageSize);
       }
       level = std::move(next_level);
       root = level[0].pgno;
     }
-    if (!leaves_.empty() && leaves_.size() == 1) root = leaves_[0].pgno;
+    if (leaf_refs_.size() == 1) root = leaf_refs_[0].second;
 
-    uint64_t last_pg = next_pg - 1;
-    FILE* f = fopen(path, "wb");
-    if (!f) return -1;
-    // checked writes: a short fwrite (disk full, I/O error) must fail the
-    // build, not silently leave a truncated data.mdb behind
-    bool wok = true;
-    auto wr = [&](const void* p, size_t n) {
-      if (fwrite(p, 1, n, f) != n) wok = false;
-    };
-    // metas
+    uint64_t last_pg = next_pg_ - 1;
+    // back-patch the metas
+    if (fseek(f_, 0, SEEK_SET) != 0) error_ = true;
     for (int mi = 0; mi < 2; mi++) {
       WPage wp;
       auto* h = wp.hdr();
@@ -448,70 +448,24 @@ class Builder {
       m->dbs[0].root = kInvalidPg;  // free DB empty
       m->dbs[0].flags = 0x08;      // MDB_INTEGERKEY (as liblmdb does)
       m->dbs[1].flags = 0;
-      m->dbs[1].depth = leaves_.empty() ? 0 : depth;
+      m->dbs[1].depth = leaf_refs_.empty() ? 0 : depth;
       m->dbs[1].branch_pages = n_branch;
-      m->dbs[1].leaf_pages = leaves_.size();
-      m->dbs[1].overflow_pages = 0;
-      for (auto np : ov_npages) m->dbs[1].overflow_pages += np;
+      m->dbs[1].leaf_pages = leaf_refs_.size();
+      m->dbs[1].overflow_pages = n_ov_pages_;
       m->dbs[1].entries = entries_;
       m->dbs[1].root = root;
       m->last_pg = last_pg;
       m->txnid = 1;
       wr(wp.bytes.data(), kPageSize);
     }
-    // leaves
-    for (auto& l : leaves_) {
-      WPage wp;
-      auto* h = wp.hdr();
-      h->pgno = l.pgno;
-      h->flags = P_LEAF;
-      uint16_t* pp =
-          reinterpret_cast<uint16_t*>(wp.bytes.data() + kPageHdrSz);
-      size_t upper = kPageSize;
-      for (size_t m = 0; m < l.entries.size(); m++) {
-        auto& e = l.entries[m];
-        size_t payload = e.big ? 8 : e.data.size();
-        size_t nsz = (8 + e.key.size() + payload + 1) & ~1ull;
-        upper -= nsz;
-        pp[m] = uint16_t(upper);
-        Node* nd = reinterpret_cast<Node*>(wp.bytes.data() + upper);
-        nd->lo = uint16_t(e.dsize & 0xFFFF);
-        nd->hi = uint16_t((e.dsize >> 16) & 0xFFFF);
-        nd->flags = e.big ? F_BIGDATA : 0;
-        nd->ksize = uint16_t(e.key.size());
-        memcpy(wp.bytes.data() + upper + 8, e.key.data(), e.key.size());
-        if (e.big) {
-          uint64_t ov = ov_pgnos[e.ov_pgno_slot];
-          memcpy(wp.bytes.data() + upper + 8 + e.key.size(), &ov, 8);
-        } else {
-          memcpy(wp.bytes.data() + upper + 8 + e.key.size(), e.data.data(),
-                 e.data.size());
-        }
-      }
-      h->pb.lower = uint16_t(kPageHdrSz + 2 * l.entries.size());
-      h->pb.upper = uint16_t(upper);
-      wr(wp.bytes.data(), kPageSize);
-    }
-    // overflow chains
-    for (size_t i = 0; i < ov_values_.size(); i++) {
-      const auto& v = ov_values_[i];
-      size_t npg = ov_npages[i];
-      std::vector<uint8_t> buf(npg * kPageSize, 0);
-      PageHeader* h = reinterpret_cast<PageHeader*>(buf.data());
-      h->pgno = ov_pgnos[i];
-      h->flags = P_OVERFLOW;
-      h->pages = uint32_t(npg);
-      memcpy(buf.data() + kPageHdrSz, v.data(), v.size());
-      wr(buf.data(), buf.size());
-    }
-    // branches
-    for (auto& wp : branch_pages) wr(wp.bytes.data(), kPageSize);
-    if (fclose(f) != 0) wok = false;
-    return wok ? 0 : -1;
+    FILE* f = f_;
+    f_ = nullptr;
+    bool ok = !error_;
+    if (fclose(f) != 0) ok = false;
+    return ok ? 0 : -1;
   }
 
  private:
-  bool error_ = false;
   struct LeafEntry {
     std::vector<uint8_t> key;
     std::vector<uint8_t> data;
@@ -519,41 +473,109 @@ class Builder {
     size_t ov_pgno_slot = 0;
     size_t dsize = 0;
   };
-  struct Leaf {
-    std::vector<LeafEntry> entries;
-    uint64_t pgno = 0;
-  };
+
+  // checked writes: a short fwrite (disk full, I/O error) must fail the
+  // build, not silently leave a truncated data.mdb behind
+  void wr(const void* p, size_t n) {
+    if (!error_ && fwrite(p, 1, n, f_) != n) error_ = true;
+  }
 
   void flush_leaf() {
-    if (cur_leaf_.empty()) return;
-    Leaf l;
-    l.entries = std::move(cur_leaf_);
-    leaves_.push_back(std::move(l));
+    if (cur_leaf_.empty() || error_) {
+      cur_leaf_.clear();
+      leaf_used_ = 0;
+      ov_values_.clear();
+      return;
+    }
+    // pgnos: this leaf, then its overflow chains, in file order
+    uint64_t leaf_pg = next_pg_++;
+    std::vector<uint64_t> ov_pgnos(ov_values_.size());
+    std::vector<uint32_t> ov_npages(ov_values_.size());
+    for (size_t i = 0; i < ov_values_.size(); i++) {
+      size_t npg =
+          (ov_values_[i].size() + kPageHdrSz + kPageSize - 1) / kPageSize;
+      ov_pgnos[i] = next_pg_;
+      ov_npages[i] = npg;
+      next_pg_ += npg;
+      n_ov_pages_ += npg;
+    }
+    WPage wp;
+    auto* h = wp.hdr();
+    h->pgno = leaf_pg;
+    h->flags = P_LEAF;
+    uint16_t* pp = reinterpret_cast<uint16_t*>(wp.bytes.data() + kPageHdrSz);
+    size_t upper = kPageSize;
+    for (size_t m = 0; m < cur_leaf_.size(); m++) {
+      auto& e = cur_leaf_[m];
+      size_t payload = e.big ? 8 : e.data.size();
+      size_t nsz = (8 + e.key.size() + payload + 1) & ~1ull;
+      upper -= nsz;
+      pp[m] = uint16_t(upper);
+      Node* nd = reinterpret_cast<Node*>(wp.bytes.data() + upper);
+      nd->lo = uint16_t(e.dsize & 0xFFFF);
+      nd->hi = uint16_t((e.dsize >> 16) & 0xFFFF);
+      nd->flags = e.big ? F_BIGDATA : 0;
+      nd->ksize = uint16_t(e.key.size());
+      memcpy(wp.bytes.data() + upper + 8, e.key.data(), e.key.size());
+      if (e.big) {
+        uint64_t ov = ov_pgnos[e.ov_pgno_slot];
+        memcpy(wp.bytes.data() + upper + 8 + e.key.size(), &ov, 8);
+      } else {
+        memcpy(wp.bytes.data() + upper + 8 + e.key.size(), e.data.data(),
+               e.data.size());
+      }
+    }
+    h->pb.lower = uint16_t(kPageHdrSz + 2 * cur_leaf_.size());
+    h->pb.upper = uint16_t(upper);
+    wr(wp.bytes.data(), kPageSize);
+    // overflow chains follow their leaf immediately
+    for (size_t i = 0; i < ov_values_.size(); i++) {
+      const auto& v = ov_values_[i];
+      std::vector<uint8_t> buf(ov_npages[i] * kPageSize, 0);
+      PageHeader* oh = reinterpret_cast<PageHeader*>(buf.data());
+      oh->pgno = ov_pgnos[i];
+      oh->flags = P_OVERFLOW;
+      oh->pages = ov_npages[i];
+      memcpy(buf.data() + kPageHdrSz, v.data(), v.size());
+      wr(buf.data(), buf.size());
+    }
+    leaf_refs_.emplace_back(cur_leaf_[0].key, leaf_pg);
     cur_leaf_.clear();
+    ov_values_.clear();
     leaf_used_ = 0;
   }
 
+  FILE* f_ = nullptr;
+  bool error_ = false;
   std::vector<LeafEntry> cur_leaf_;
   size_t leaf_used_ = 0;
-  std::vector<Leaf> leaves_;
-  std::vector<std::vector<uint8_t>> ov_values_;
+  std::vector<std::vector<uint8_t>> ov_values_;  // current leaf's only
+  std::vector<std::pair<std::vector<uint8_t>, uint64_t>> leaf_refs_;
+  std::vector<uint8_t> last_key_;
+  uint64_t next_pg_ = 2;
+  uint64_t n_ov_pages_ = 0;
   uint64_t entries_ = 0;
 };
 
 }  // namespace
 
-void* lmdbx_builder_new() { return new Builder; }
+void* lmdbx_builder_new(const char* path) {
+  auto* b = new Builder(path);
+  return b;
+}
 
 int lmdbx_builder_add(void* b, const uint8_t* key, size_t klen,
                       const uint8_t* val, size_t vlen) {
   return static_cast<Builder*>(b)->add(key, klen, val, vlen);
 }
 
-int lmdbx_builder_finish(void* b, const char* path) {
+int lmdbx_builder_finish(void* b) {
   auto* builder = static_cast<Builder*>(b);
-  int rc = builder->finish(path);
+  int rc = builder->finish();
   delete builder;
   return rc;
 }
+
+void lmdbx_builder_abort(void* b) { delete static_cast<Builder*>(b); }
 
 }  // extern "C"

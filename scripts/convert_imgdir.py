@@ -47,7 +47,8 @@ def main(opts):
         write_img_db(opts.output, records, conf_th=opts.conf_th,
                      max_bb=opts.max_bb, min_bb=opts.min_bb,
                      num_bb=opts.num_bb,
-                     compress=opts.compress and not opts.uncompressed)
+                     compress=opts.compress and not opts.uncompressed,
+                     store_format=opts.store)
     LOGGER.info("wrote img_db to %s", opts.output)
 
 
@@ -62,6 +63,11 @@ if __name__ == "__main__":
                         help="gt layout store name when --conf_th -1 "
                              "(default 100, matching the readers)")
     parser.add_argument("--nproc", type=int, default=8)
+    parser.add_argument("--store", default="lmdb", choices=["lmdb", "dir"],
+                        help="record store format (lmdb = a real data.mdb "
+                             "via the native streaming builder, the "
+                             "reference's on-disk format; dir = one file "
+                             "per key for debugging)")
     parser.add_argument("--compress", action="store_true",
                         help="write the *_compressed (npz) store layout "
                              "(reference scripts/convert_imgdir.py:128; "

@@ -128,3 +128,57 @@ def test_writer_rejects_oversized_keys(tmp_path):
         write_lmdb(str(tmp_path / "db"), {"k" * 600: b"v"})
     # boundary: 511 is fine
     write_lmdb(str(tmp_path / "db2"), {"k" * 511: b"v", "a": b"b"})
+
+
+def test_streaming_writer_multi_leaf_and_overflow(tmp_path):
+    """The STREAMING builder (leaves + overflow pages hit disk as they
+    fill; branches + metas back-patched at finish) round-trips a DB far
+    larger than one leaf, with values spanning inline, single-overflow,
+    and multi-page-overflow sizes, via an ITERATOR-style sorted feed."""
+    import numpy as np
+
+    from uniter_tpu.data.lmdb_native import LmdbStore, LmdbWriter
+
+    rng = np.random.RandomState(0)
+    vals = {}
+    with LmdbWriter(str(tmp_path / "db")) as w:
+        for i in range(3000):  # many leaves; ~mixed value sizes
+            k = f"k{i:08d}"
+            n = (3, 900, 9000)[i % 3]  # inline / 1-page ov / 3-page ov
+            v = rng.bytes(n)
+            vals[k] = v
+            w.put(k, v)
+    db = LmdbStore(str(tmp_path / "db"))
+    assert len(db) == 3000
+    for i in (0, 1, 2, 1499, 2998, 2999):
+        k = f"k{i:08d}"
+        assert db.get(k) == vals[k], k
+    assert db.get("missing") is None
+    # cursor enumerates every key in sorted order
+    keys = list(db.keys())
+    assert keys == sorted(vals)
+    db.close()
+
+
+def test_streaming_writer_rejects_unsorted(tmp_path):
+    import pytest
+
+    from uniter_tpu.data.lmdb_native import LmdbWriter
+
+    w = LmdbWriter(str(tmp_path / "db"))
+    w.put("b", b"1")
+    with pytest.raises(ValueError, match="sorted"):
+        w.put("a", b"2")
+    assert not (tmp_path / "db" / "data.mdb").exists()  # aborted + removed
+
+
+def test_streaming_writer_abort_removes_partial(tmp_path):
+    from uniter_tpu.data.lmdb_native import LmdbWriter
+
+    try:
+        with LmdbWriter(str(tmp_path / "db")) as w:
+            w.put("a", b"1")
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not (tmp_path / "db" / "data.mdb").exists()

@@ -190,8 +190,9 @@ class DetectFeatDb:
 
 def write_img_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
                  conf_th: float = 0.2, max_bb: int = 100, min_bb: int = 10,
-                 compress: bool = False, num_bb: int = 36):
-    """Create an img DB (test fixtures; scripts/convert_imgdir.py analog).
+                 compress: bool = False, num_bb: int = 36,
+                 store_format: str = "lmdb"):
+    """Create an img DB (scripts/convert_imgdir.py + test fixtures).
     Default uncompressed (msgpack records) — the reference converter's
     default and the released DBs' format (scripts/convert_imgdir.py:128).
 
@@ -201,6 +202,12 @@ def write_img_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
     need never be resident at once). ``conf_th=-1`` writes the gt-feature
     layout (feat_numbb{num_bb} store + an accurate nbb sidecar with each
     record's real row count).
+
+    ``store_format="lmdb"`` (default) writes a real ``data.mdb`` via the
+    native streaming builder — the reference's on-disk format, bounded
+    memory at any split size; iterables must arrive in sorted fname order
+    (convert_imgdir sorts its glob), mappings are sorted here. "dir"
+    writes one file per key (debugging).
     """
     if conf_th == -1:
         db_name = f"feat_numbb{num_bb}"
@@ -210,24 +217,43 @@ def write_img_db(img_dir: str, records: Dict[str, Dict[str, np.ndarray]],
         db_name += "_compressed"
     path = os.path.join(img_dir, db_name)
     os.makedirs(path, exist_ok=True)
-    store = open_store(path, create=True)
+    if store_format == "lmdb":
+        from uniter_tpu.data.lmdb_native import LmdbWriter
+
+        store = LmdbWriter(path)
+        items = (sorted(records.items())
+                 if hasattr(records, "items") else records)
+    else:
+        store = open_store(path, create=True)
+        items = records.items() if hasattr(records, "items") else records
     name2nbb = {}
-    items = records.items() if hasattr(records, "items") else records
-    for fname, rec in items:
-        if compress:
-            buf = io.BytesIO()
-            np.savez(buf, **rec)
-            store.put(fname, buf.getvalue())
-        else:
-            store.put(fname, msgnp.packb(rec))
-        if conf_th == -1:
-            name2nbb[fname] = int(np.asarray(rec["features"]).shape[0])
-        else:
-            name2nbb[fname] = compute_num_bb(
-                np.asarray(rec["conf"]), conf_th, min_bb, max_bb)
-    store.put("__keys__", json.dumps(list(name2nbb)).encode())
+    try:
+        for fname, rec in items:
+            if compress:
+                buf = io.BytesIO()
+                np.savez(buf, **rec)
+                store.put(fname, buf.getvalue())
+            else:
+                store.put(fname, msgnp.packb(rec))
+            if conf_th == -1:
+                name2nbb[fname] = int(np.asarray(rec["features"]).shape[0])
+            else:
+                name2nbb[fname] = compute_num_bb(
+                    np.asarray(rec["conf"]), conf_th, min_bb, max_bb)
+        if store_format != "lmdb":
+            # lmdb stores enumerate keys via cursor / the nbb sidecar;
+            # appending __keys__ out of sort order would break the
+            # streaming bulk build
+            store.put("__keys__", json.dumps(list(name2nbb)).encode())
+    except Exception:
+        if hasattr(store, "abort"):
+            store.abort()
+        raise
     nbb = (f"nbb_numbb{num_bb}.json" if conf_th == -1
            else f"nbb_th{conf_th}_max{max_bb}_min{min_bb}.json")
     with open(os.path.join(img_dir, nbb), "w") as f:
         json.dump(name2nbb, f)
-    store.close()
+    if hasattr(store, "finish"):
+        store.finish()
+    else:
+        store.close()

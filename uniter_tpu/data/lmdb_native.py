@@ -61,13 +61,15 @@ def load_lib():
         ]
         lib.lmdbx_cursor_close.argtypes = [ctypes.c_void_p]
         lib.lmdbx_builder_new.restype = ctypes.c_void_p
+        lib.lmdbx_builder_new.argtypes = [ctypes.c_char_p]
         lib.lmdbx_builder_add.restype = ctypes.c_int
         lib.lmdbx_builder_add.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t,
         ]
         lib.lmdbx_builder_finish.restype = ctypes.c_int
-        lib.lmdbx_builder_finish.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.lmdbx_builder_finish.argtypes = [ctypes.c_void_p]
+        lib.lmdbx_builder_abort.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -113,21 +115,67 @@ class LmdbStore(KVStore):
             self.handle = None
 
 
-def write_lmdb(db_dir: str, records: Dict[str, bytes]):
-    """Bulk-create ``db_dir/data.mdb`` from a dict (sorted by key)."""
-    lib = load_lib()
-    os.makedirs(db_dir, exist_ok=True)
-    b = lib.lmdbx_builder_new()
-    for key in sorted(records):
+class LmdbWriter:
+    """STREAMING data.mdb creation: keys must arrive in strictly
+    increasing order; leaf/overflow pages flush to disk as they fill, so
+    building a full-split image DB (tens of GB) needs only ~one leaf of
+    resident memory. Use as a context manager; ``abort()`` (or an
+    exception) discards the partial file."""
+
+    def __init__(self, db_dir: str):
+        self.lib = load_lib()
+        os.makedirs(db_dir, exist_ok=True)
+        self.path = os.path.join(db_dir, "data.mdb")
+        self.handle = self.lib.lmdbx_builder_new(self.path.encode())
+        if not self.handle:
+            raise IOError(f"cannot create {self.path}")
+        self._last = None
+
+    def put(self, key: str, value: bytes):
         k = key.encode()
-        v = records[key]
-        if lib.lmdbx_builder_add(b, k, len(k), v, len(v)) != 0:
-            # finish() with the error flag set deletes the native builder
-            # without writing anything (sole deallocation path)
-            lib.lmdbx_builder_finish(b, b"/invalid")
+        if self.lib.lmdbx_builder_add(
+                self.handle, k, len(k), value, len(value)) != 0:
+            self.abort()
+            if self._last is not None and key <= self._last:
+                raise ValueError(
+                    f"lmdbx: keys must arrive sorted ({key!r} after "
+                    f"{self._last!r}) — sort the input file list")
             raise ValueError(
-                f"lmdbx: key {key!r} exceeds LMDB's 511-byte maxkeysize")
-    rc = lib.lmdbx_builder_finish(
-        b, os.path.join(db_dir, "data.mdb").encode())
-    if rc != 0:
-        raise IOError(f"lmdbx write failed: {rc}")
+                f"lmdbx: key {key!r} exceeds LMDB's 511-byte maxkeysize "
+                "(or an earlier I/O error)")
+        self._last = key
+
+    def finish(self):
+        h, self.handle = self.handle, None
+        if h and self.lib.lmdbx_builder_finish(h) != 0:
+            raise IOError(f"lmdbx write failed for {self.path}")
+
+    def abort(self):
+        h, self.handle = self.handle, None
+        if h:
+            self.lib.lmdbx_builder_abort(h)
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *a):
+        if exc_type is not None:
+            self.abort()
+        elif self.handle:
+            self.finish()
+        return False
+
+    def __del__(self):
+        if getattr(self, "handle", None):
+            self.abort()
+
+
+def write_lmdb(db_dir: str, records: Dict[str, bytes]):
+    """Bulk-create ``db_dir/data.mdb`` from a dict (sorted here)."""
+    with LmdbWriter(db_dir) as w:
+        for key in sorted(records):
+            w.put(key, records[key])
