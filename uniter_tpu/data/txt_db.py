@@ -90,13 +90,13 @@ def write_txt_db(db_dir: str, records: Dict[str, dict], meta: dict,
     os.makedirs(db_dir, exist_ok=True)
     id2len = {}
     if store == "lmdb":
-        from uniter_tpu.data.lmdb_native import write_lmdb
+        from uniter_tpu.data.lmdb_native import LmdbWriter
 
-        blobs = {}
-        for key, rec in records.items():
-            blobs[key] = lz4f.compress(msgnp.packb(rec))
-            id2len[key] = len(rec["input_ids"])
-        write_lmdb(db_dir, blobs)
+        with LmdbWriter(db_dir) as w:
+            for key in sorted(records):
+                rec = records[key]
+                w.put(key, lz4f.compress(msgnp.packb(rec)))
+                id2len[key] = len(rec["input_ids"])
         db = None
     else:
         db = TxtDb(db_dir, readonly=False)
