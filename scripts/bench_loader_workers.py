@@ -40,7 +40,7 @@ N_BATCHES = int(os.environ.get("UNITER_LOADER_BENCH_BATCHES", "80"))
 def build_dbs():
     from uniter_tpu.data import write_img_db, write_txt_db
 
-    if os.path.exists(os.path.join(CACHE_DIR, ".done")):
+    if os.path.exists(os.path.join(CACHE_DIR, ".done_v2")):
         return (os.path.join(CACHE_DIR, "img"),
                 os.path.join(CACHE_DIR, "txt"))
     rng = np.random.RandomState(0)
@@ -67,8 +67,8 @@ def build_dbs():
         )
         txt2img[tid] = txt_records[tid]["img_fname"]
     txt_dir = os.path.join(CACHE_DIR, "txt")
-    write_txt_db(txt_dir, txt_records, META, txt2img)
-    with open(os.path.join(CACHE_DIR, ".done"), "w") as f:
+    write_txt_db(txt_dir, txt_records, META, txt2img, store="lmdb")
+    with open(os.path.join(CACHE_DIR, ".done_v2"), "w") as f:
         f.write("ok")
     return img_dir, txt_dir
 

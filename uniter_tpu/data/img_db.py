@@ -128,7 +128,7 @@ class DetectFeatDb:
         (first byte 0x80-0x8f/0xde/0xdf), so a store opened under the wrong
         compression flag (e.g. released uncompressed DBs with
         ``--compressed_db``) still reads correctly."""
-        if dump[:2] == b"PK":
+        if bytes(dump[:2]) == b"PK":
             with io.BytesIO(dump) as reader:
                 z = np.load(reader, allow_pickle=True)
                 names = keys if keys is not None else z.files
@@ -148,19 +148,21 @@ class DetectFeatDb:
         for fname in fnames:
             # only conf is needed; decoding the full record would
             # materialize features + soft_labels (~10x the bytes) per file
-            confs = self._decode(self.store[fname], keys=("conf",))["conf"]
+            confs = self._decode(
+                self.store.view(fname), keys=("conf",))["conf"]
             out[fname] = compute_num_bb(
                 confs, self.conf_th, self.min_bb, self.max_bb)
         return out
 
     def get_dump(self, file_name: str) -> Dict[str, np.ndarray]:
         """Full record incl. soft_labels, trimmed to nbb (for MRC)."""
-        d = _fp16_to_fp32(self._decode(self.store[file_name]))
+        d = _fp16_to_fp32(self._decode(self.store.view(file_name)))
         nbb = self.name2nbb[file_name]
         return {k: v[:nbb] for k, v in d.items()}
 
     def __getitem__(self, file_name: str) -> Tuple[np.ndarray, np.ndarray]:
-        d = self._decode(self.store[file_name], keys=("features", "norm_bb"))
+        d = self._decode(
+            self.store.view(file_name), keys=("features", "norm_bb"))
         nbb = self.name2nbb[file_name]
         # features keep the store dtype (released DBs: fp16) — fp16 values
         # are exactly representable in fp32/bf16, so every downstream cast

@@ -23,6 +23,18 @@ _SRC = os.path.abspath(os.path.join(_ROOT, "lmdbx.cc"))
 _lib = None
 _lock = threading.Lock()
 
+# CPython C API: wrap a raw (pointer, size) as a read-only memoryview with
+# no copy and no per-size ctypes array-type churn.
+_PyBUF_READ = 0x100
+_PyMemoryView_FromMemory = ctypes.pythonapi.PyMemoryView_FromMemory
+_PyMemoryView_FromMemory.restype = ctypes.py_object
+_PyMemoryView_FromMemory.argtypes = [
+    ctypes.c_void_p, ctypes.c_ssize_t, ctypes.c_int]
+
+
+def _mv_from_memory(ptr, n):
+    return _PyMemoryView_FromMemory(ptr, n, _PyBUF_READ)
+
 
 def _build():
     subprocess.check_call(
@@ -91,6 +103,21 @@ class LmdbStore(KVStore):
         if rc != 0:
             return None
         return ctypes.string_at(val, vlen.value)
+
+    def get_view(self, key: str):
+        """Zero-copy read: a read-only memoryview straight into the engine's
+        mmap (lmdbx.cc: values point into the map, valid until close). Skips
+        the ``string_at`` value copy ``get`` pays — decoders copy payloads
+        themselves during unpack, so the hot path never needs owned bytes."""
+        val = ctypes.POINTER(ctypes.c_ubyte)()
+        vlen = ctypes.c_size_t()
+        k = key.encode()
+        rc = self.lib.lmdbx_get(
+            self.handle, k, len(k), ctypes.byref(val), ctypes.byref(vlen))
+        if rc != 0:
+            return None
+        return _mv_from_memory(
+            ctypes.cast(val, ctypes.c_void_p), vlen.value)
 
     def put(self, key: str, value: bytes) -> None:
         raise IOError("LmdbStore is read-only; use write_lmdb for creation")

@@ -35,6 +35,25 @@ from uniter_tpu.data.sampler import StaticBucketSampler
 _FORK_STATE = None
 _FORK_LOCK = threading.Lock()
 
+_RNG_TLS = threading.local()
+
+
+def _record_rng(seed) -> np.random.RandomState:
+    """A RandomState seeded to ``seed`` — bit-identical stream to a fresh
+    ``np.random.RandomState(seed)`` (``seed()`` reuses the same legacy
+    MT19937 seeding) but ~75x cheaper: the constructor draws OS entropy for
+    an interim SeedSequence and runs errstate-guarded re-seeding (~190us
+    measured vs ~2.5us for re-seeding a cached instance), which at one
+    RandomState per record was ~14-27% of total decode cost. One cached
+    instance per thread (fork workers: per process); safe because every
+    ``get_record`` consumes its stream entirely within the call — the
+    documented per-record RNG contract — so no state leaks across records."""
+    rs = getattr(_RNG_TLS, "rs", None)
+    if rs is None:
+        rs = _RNG_TLS.rs = np.random.RandomState(0)
+    rs.seed(seed)
+    return rs
+
 
 def _fork_collate_shard(args):
     """Worker task: decode a CONTIGUOUS shard of the batch and collate it
@@ -44,7 +63,7 @@ def _fork_collate_shard(args):
     ~2.5ms/record, which would cap multi-core scaling at the parent."""
     idxs, seeds, t_b, r_b = args
     ds, collate = _FORK_STATE
-    recs = [ds.get_record(i, np.random.RandomState(s))
+    recs = [ds.get_record(i, _record_rng(s))
             for i, s in zip(idxs, seeds)]
     return collate(recs, t_b, r_b, len(recs))
 
@@ -100,7 +119,7 @@ def _fork_collate_into_shm(args):
     rows-per-example inverse ratio) per key."""
     name, layout, a, idxs, seeds, t_b, r_b = args
     ds, collate = _FORK_STATE
-    recs = [ds.get_record(i, np.random.RandomState(s))
+    recs = [ds.get_record(i, _record_rng(s))
             for i, s in zip(idxs, seeds)]
     part = collate(recs, t_b, r_b, len(recs))
     shm = _attach_shm(name)
@@ -314,10 +333,9 @@ class BucketLoader:
         seeds = rng.randint(2**31, size=len(idxs)).tolist()
         if self._pool is not None:
             return list(self._pool.map(
-                lambda iv: self.dataset.get_record(
-                    iv[0], np.random.RandomState(iv[1])),
+                lambda iv: self.dataset.get_record(iv[0], _record_rng(iv[1])),
                 zip(idxs, seeds)))
-        return [self.dataset.get_record(i, np.random.RandomState(s))
+        return [self.dataset.get_record(i, _record_rng(s))
                 for i, s in zip(idxs, seeds)]
 
     def _make_batch(self, idxs, rng, t_b, r_b, bs):
@@ -332,7 +350,7 @@ class BucketLoader:
                 # padding-row semantics (position_ids arange, -1 labels);
                 # zero-padding shards here would diverge from serial
                 return self.collate(
-                    [self.dataset.get_record(i, np.random.RandomState(s))
+                    [self.dataset.get_record(i, _record_rng(s))
                      for i, s in zip(idxs, seeds)], t_b, r_b, bs)
             w = min(self.num_workers, max(len(idxs) // 8, 1))
             bounds = np.linspace(0, len(idxs), w + 1).astype(int)
@@ -353,14 +371,14 @@ class BucketLoader:
         key = (t_b, r_b, bs)
         layout = self._shm_ring.layouts.get(key)
         if layout is None or len(idxs) != bs:
-            recs = [self.dataset.get_record(i, np.random.RandomState(s))
+            recs = [self.dataset.get_record(i, _record_rng(s))
                     for i, s in zip(idxs, seeds)]
             batch = self.collate(recs, t_b, r_b, bs)
             if layout is None and len(idxs) == bs:
                 self._shm_ring.layout_from_template(key, batch, bs)
             return batch
         if not layout:  # template had no example-proportional rows
-            recs = [self.dataset.get_record(i, np.random.RandomState(s))
+            recs = [self.dataset.get_record(i, _record_rng(s))
                     for i, s in zip(idxs, seeds)]
             return self.collate(recs, t_b, r_b, bs)
         seg = self._shm_ring.next_segment(key)
@@ -370,7 +388,7 @@ class BucketLoader:
             align_r = align_r * r_inv // math.gcd(align_r, r_inv)
         align_e = align_r // math.gcd(align_r, rho)  # in example units
         if bs % align_e:
-            recs = [self.dataset.get_record(i, np.random.RandomState(s))
+            recs = [self.dataset.get_record(i, _record_rng(s))
                     for i, s in zip(idxs, seeds)]
             return self.collate(recs, t_b, r_b, bs)
         n_units = bs // align_e

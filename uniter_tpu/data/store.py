@@ -29,6 +29,20 @@ class KVStore:
     def close(self) -> None:
         pass
 
+    def get_view(self, key: str):
+        """Zero-copy read where the backend supports it (LmdbStore returns
+        a read-only memoryview into its mmap, valid until close). Decoders
+        consume the view immediately (msgpack copies payloads during
+        unpack), so the per-record value copy ``get`` pays is redundant on
+        the hot path. Default falls back to ``get``."""
+        return self.get(key)
+
+    def view(self, key: str):
+        v = self.get_view(key)
+        if v is None:
+            raise KeyError(key)
+        return v
+
     def __getitem__(self, key: str) -> bytes:
         v = self.get(key)
         if v is None:

@@ -29,7 +29,9 @@ class TxtDb:
         self.readonly = readonly
 
     def __getitem__(self, key: str):
-        return msgnp.unpackb(lz4f.decompress(self.store[key]))
+        # view(): zero-copy value read on lmdbx stores (decompress consumes
+        # the buffer immediately; the owned-bytes copy was pure overhead)
+        return msgnp.unpackb(lz4f.decompress(self.store.view(key)))
 
     def __setitem__(self, key: str, value):
         if self.readonly:
