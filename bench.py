@@ -33,9 +33,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 V100_BASELINE_EX_PER_SEC = 170.0
 
+# UNITER_BENCH_SMOKE=1: tiny shapes + tiny config + XLA paths so the full
+# 3-line artifact pipeline runs on CPU in seconds (tests/test_bench_smoke.py
+# guards the host logic — e.g. result unpacking — every round).
+SMOKE = os.environ.get("UNITER_BENCH_SMOKE") == "1"
+
 # Workload: NLVR2-class fine-tune shapes — ~10k tokens per batch
 # (config/train-nlvr2-base-1gpu.json: 10240-token batches).
-B, T, R = 96, 64, 40
+B, T, R = (8, 16, 8) if SMOKE else (96, 64, 40)
 
 
 def bench_retrieval():
@@ -45,13 +50,14 @@ def bench_retrieval():
     import jax.numpy as jnp
     from types import SimpleNamespace
 
-    from uniter_tpu.config import base_config
+    from uniter_tpu.config import base_config, tiny_config
     from uniter_tpu.models.itm import UniterForImageTextRetrieval
     from uniter_tpu.utils.itm_fast import fast_score_matrix
 
-    n_txt, n_img, t, r, d = 512, 512, 64, 40, 2048
+    n_txt, n_img, t, r, d = (
+        (16, 16, 16, 8, 32) if SMOKE else (512, 512, 64, 40, 2048))
     rng = np.random.RandomState(0)
-    toks = [rng.randint(5, 28000, rng.randint(8, t - 2))
+    toks = [rng.randint(5, 500 if SMOKE else 28000, rng.randint(8, t - 2))
             for _ in range(n_txt)]
     feats = {f"i{j}": (rng.randn(r, d).astype(np.float32),
                        rng.rand(r, 7).astype(np.float32), r)
@@ -64,9 +70,13 @@ def bench_retrieval():
         img_db=SimpleNamespace(get_img_feat=lambda name: feats[name]),
         example=lambda i: {"input_ids": toks[i]},
     )
-    cfg = base_config(dtype="bfloat16", attention_impl="pallas",
-                      scan_unroll=12, block_fusion="pallas",
-                      attn_batch_block=2)
+    if SMOKE:
+        cfg = tiny_config(dtype="bfloat16", attention_impl="xla",
+                          scan_unroll=2, block_fusion="none")
+    else:
+        cfg = base_config(dtype="bfloat16", attention_impl="pallas",
+                          scan_unroll=12, block_fusion="pallas",
+                          attn_batch_block=2)
     model = UniterForImageTextRetrieval(cfg, img_dim=d)
     init_batch = dict(
         input_ids=jnp.zeros((8, t), jnp.int32),
@@ -77,10 +87,11 @@ def bench_retrieval():
     )
     params = model.init({"params": jax.random.PRNGKey(0)}, init_batch,
                         False)["params"]
-    kw = dict(txt_tile=32, img_tile=128, dtype="bfloat16")
+    kw = (dict(txt_tile=4, img_tile=8, dtype="bfloat16") if SMOKE
+          else dict(txt_tile=32, img_tile=128, dtype="bfloat16"))
     fast_score_matrix(model, params, ds, t, r, **kw)  # compile warm-up
     t0 = time.perf_counter()
-    scores = fast_score_matrix(model, params, ds, t, r, **kw)
+    scores, _ids = fast_score_matrix(model, params, ds, t, r, **kw)
     _ = float(np.asarray(scores).reshape(-1)[-1])  # relay fence
     return n_txt * n_img / (time.perf_counter() - t0)
 
@@ -95,6 +106,8 @@ def bench_large():
         from bench_sweep_r3 import run_one
     finally:
         sys.path.pop(0)
+    if SMOKE:
+        return run_one(B=8, T=16, R=8, k=2, large=True)
     return run_one(B=96, T=64, R=40, k=32, large=True, attn_bb=2)
 
 
@@ -104,7 +117,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from uniter_tpu.config import base_config
+    from uniter_tpu.config import base_config, tiny_config
     from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
     from uniter_tpu.training.optim import build_optimizer
     from uniter_tpu.training.sched import get_lr_schedule
@@ -112,7 +125,8 @@ def main():
 
     # Measured on v5e: the head-batched Pallas kernel (ops/attention.py)
     # edges out XLA's fused attention (1630 vs 1613 ex/s at these shapes).
-    attention_impl = os.environ.get("UNITER_BENCH_IMPL", "pallas")
+    attention_impl = os.environ.get(
+        "UNITER_BENCH_IMPL", "xla" if SMOKE else "pallas")
 
     def build(impl):
         # measured fastest on v5e (docs/PERF.md r2): fully-unrolled encoder,
@@ -120,18 +134,21 @@ def main():
         # hardware RNG, fused AdamW with bf16 moments, 16 steps per call
         # attn_batch_block=2: two batch elements per attention grid step
         # (r3 sweep: 1927.6 vs 1915.5 ex/s; >=4 overflows VMEM)
-        cfg = base_config(dtype="bfloat16", attention_impl=impl,
-                          scan_unroll=12,
-                          block_fusion="none" if impl == "xla" else "pallas",
-                          attn_batch_block=int(os.environ.get(
-                              "UNITER_BENCH_ATTN_BB", "2")))
-        model = UniterForVisualQuestionAnswering(cfg, img_dim=2048)
+        mk_cfg = tiny_config if SMOKE else base_config
+        cfg = mk_cfg(dtype="bfloat16", attention_impl=impl,
+                     scan_unroll=2 if SMOKE else 12,
+                     block_fusion="none" if impl == "xla" else "pallas",
+                     attn_batch_block=int(os.environ.get(
+                         "UNITER_BENCH_ATTN_BB", "1" if SMOKE else "2")))
+        img_dim = 32 if SMOKE else 2048
+        model = UniterForVisualQuestionAnswering(cfg, img_dim=img_dim)
         rng = np.random.RandomState(0)
         batch = dict(
-            input_ids=jnp.asarray(rng.randint(1, 28000, (B, T)), jnp.int32),
+            input_ids=jnp.asarray(
+                rng.randint(1, 500 if SMOKE else 28000, (B, T)), jnp.int32),
             position_ids=jnp.broadcast_to(
                 jnp.arange(T, dtype=jnp.int32), (B, T)),
-            img_feat=jnp.asarray(rng.randn(B, R, 2048).astype(np.float32)),
+            img_feat=jnp.asarray(rng.randn(B, R, img_dim).astype(np.float32)),
             img_pos_feat=jnp.asarray(rng.rand(B, R, 7).astype(np.float32)),
             attn_mask=jnp.ones((B, T + R), jnp.int32),
             targets=jnp.asarray(
@@ -157,7 +174,8 @@ def main():
         # (1912-1916 vs 1905-1907), k=64 +0.4% more (1923.1/1923.8 twice
         # confirmed), k=128 collapses (1706 — k-stacked batch broadcast
         # blows past what fits close to the cores)
-        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "64"))
+        k = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL",
+                               "2" if SMOKE else "64"))
         step = make_train_step(loss_fn, loss_scale="mean",
                                steps_per_call=k)
         if k > 1:

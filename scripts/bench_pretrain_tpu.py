@@ -95,6 +95,10 @@ def main():
                          grad_norm=2.0, weight_decay=0.01, fused=True,
                          mu_dtype=None, nu_dtype=None)
     state0 = TrainState.create(params, tx)
+    # the train step DONATES its state argument; hand each task a fresh
+    # device-side copy so state0 (and the params aliased inside it)
+    # survives all six tasks (one jit -> one relay dispatch per task)
+    copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
     rng = jax.random.key(1, impl="rbg")
     out_path = "/tmp/bench_pretrain_tpu.jsonl"
 
@@ -123,7 +127,7 @@ def main():
                 lambda x: jnp.broadcast_to(x, (K,) + x.shape), batch)
         t0 = time.time()
         try:
-            state = state0
+            state = copy_state(state0)
             for _ in range(3):
                 state, metrics = step(state, batch, rng)
             loss = float(np.asarray(metrics["loss"]).reshape(-1)[-1])

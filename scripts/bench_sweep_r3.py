@@ -118,12 +118,15 @@ def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
     import jax
     import jax.numpy as jnp
 
-    from uniter_tpu.config import base_config, large_config
+    from uniter_tpu.config import base_config, large_config, tiny_config
     from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
     from uniter_tpu.training.optim import build_optimizer
     from uniter_tpu.training.sched import get_lr_schedule
     from uniter_tpu.training.step import TrainState, make_train_step
 
+    # UNITER_BENCH_SMOKE=1: tiny config + XLA paths so bench.py's CPU smoke
+    # test (tests/test_bench_smoke.py) can drive this host logic end to end.
+    smoke = os.environ.get("UNITER_BENCH_SMOKE") == "1"
     kw = dict(dtype="bfloat16", attention_impl=attention_impl,
               scan_unroll=24 if large else 12, block_fusion="pallas",
               ffn_impl=ffn_impl, fused_qkv=fused_qkv,
@@ -131,13 +134,19 @@ def run_one(B, T, R, k=16, dropout=None, attention_impl="pallas",
     if dropout is not None:
         kw.update(hidden_dropout_prob=dropout,
                   attention_probs_dropout_prob=dropout)
-    cfg = (large_config if large else base_config)(**kw)
-    model = UniterForVisualQuestionAnswering(cfg, img_dim=2048)
+    if smoke:
+        kw.update(attention_impl="xla", scan_unroll=2, block_fusion="none",
+                  attn_batch_block=1)
+    img_dim = 32 if smoke else 2048
+    vocab = 500 if smoke else 28000
+    cfg = (tiny_config if smoke
+           else (large_config if large else base_config))(**kw)
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=img_dim)
     rng_np = np.random.RandomState(0)
     batch = dict(
-        input_ids=jnp.asarray(rng_np.randint(1, 28000, (B, T)), jnp.int32),
+        input_ids=jnp.asarray(rng_np.randint(1, vocab, (B, T)), jnp.int32),
         position_ids=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)),
-        img_feat=jnp.asarray(rng_np.randn(B, R, 2048).astype(np.float32)),
+        img_feat=jnp.asarray(rng_np.randn(B, R, img_dim).astype(np.float32)),
         img_pos_feat=jnp.asarray(rng_np.rand(B, R, 7).astype(np.float32)),
         attn_mask=jnp.ones((B, T + R), jnp.int32),
         targets=jnp.asarray((rng_np.rand(B, 3129) < 0.003).astype(np.float32)),

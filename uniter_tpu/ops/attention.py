@@ -185,14 +185,16 @@ def _head_chunk(h, s, d, n_bufs, bc=1):
 
 def _bc_budget() -> int:
     """VMEM working-set bound for bc>1 grid steps. Mosaic compile-crashes
-    at 8.6MB (bb=4 at base shapes, docs/PERF.md r3 part 2) while 4.3MB
-    (base bb=2) is measured good on v5e, so bc>1 is only admitted up to
-    5MB — between the measured good and bad points. Env-overridable for
-    hardware probes (UNITER_ATTN_VMEM_BUDGET, bytes)."""
+    at 8.6MB (bb=4 at base shapes, docs/PERF.md r3 part 2); 4.3MB (base
+    bb=2) and 5.75MB (uniter-large full-head bb=2, r4 sweep — compiles,
+    replays, and is the fastest large config at 590.4 vs 587.9 ex/s) are
+    measured good on v5e, so bc>1 is admitted up to 6MB — between the
+    measured good and bad points. Env-overridable for hardware probes
+    (UNITER_ATTN_VMEM_BUDGET, bytes)."""
     import os
 
     return int(os.environ.get("UNITER_ATTN_VMEM_BUDGET",
-                              5 * 1024 * 1024))
+                              6 * 1024 * 1024))
 
 
 def _grid_blocks(b, h, s, d, n_bufs, requested):
@@ -203,8 +205,11 @@ def _grid_blocks(b, h, s, d, n_bufs, requested):
     grid steps). bc=1 may use the looser 10MB bound (proven by the r1-r3
     single-element kernels); bc>1 is capped by _bc_budget(). A requested
     bb whose all-heads working set overflows is satisfied by chunking
-    heads (hc < H) rather than degrading to bc=1 — uniter-large's 16-head
-    set at S>=128 only fits bb=2 this way (VERDICT r3 #3)."""
+    heads (hc < H) rather than degrading to bc=1 (VERDICT r3 #3). r4
+    hardware sweep at uniter-large S=104: hc<H cancels the batch-block
+    gain (hc=8/bb=2 587.5 vs ctl 587.9 — double the grid steps), while
+    full-head bb=2 under the raised 6MB budget wins (590.4); head
+    chunking remains the only admission path at S>=128 large shapes."""
     per_head = s * s * 4 * 2 + n_bufs * s * d * 2
     best = (1, _head_chunk(h, s, d, n_bufs, bc=1))
     if requested <= 1:
