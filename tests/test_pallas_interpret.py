@@ -199,3 +199,21 @@ def test_attention_fwd_only_budget_divergent_grids(monkeypatch):
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_attention_vmem_budget_by_device_kind(monkeypatch):
+    """The bc>1 admission budget derives from the device generation's VMEM
+    (VERDICT r4 #7): 16MB-class parts (v2-v5, incl. the measured v5e) keep
+    the probe-calibrated 6MB; Trillium's doubled VMEM doubles it; unknown
+    kinds (incl. CPU) stay conservative; the env override always wins."""
+    from uniter_tpu.ops.attention import _bc_budget
+
+    monkeypatch.delenv("UNITER_ATTN_VMEM_BUDGET", raising=False)
+    six_mb = 6 * 1024 * 1024
+    for kind in ("TPU v2", "TPU v3", "TPU v4", "TPU v5 lite", "TPU v5p",
+                 "TPU v5", "cpu", "unknown"):
+        assert _bc_budget(kind) == six_mb, kind
+    for kind in ("TPU v6 lite", "TPU v6e", "TPU7x"):
+        assert _bc_budget(kind) == 2 * six_mb, kind
+    monkeypatch.setenv("UNITER_ATTN_VMEM_BUDGET", "12345")
+    assert _bc_budget("TPU v6 lite") == 12345

@@ -183,18 +183,39 @@ def _head_chunk(h, s, d, n_bufs, bc=1):
     return hc
 
 
-def _bc_budget() -> int:
-    """VMEM working-set bound for bc>1 grid steps. Mosaic compile-crashes
-    at 8.6MB (bb=4 at base shapes, docs/PERF.md r3 part 2); 4.3MB (base
-    bb=2) and 5.75MB (uniter-large full-head bb=2, r4 sweep — compiles,
-    replays, and is the fastest large config at 590.4 vs 587.9 ex/s) are
-    measured good on v5e, so bc>1 is admitted up to 6MB — between the
-    measured good and bad points. Env-overridable for hardware probes
-    (UNITER_ATTN_VMEM_BUDGET, bytes)."""
+def _device_vmem_bytes(kind: str) -> int:
+    """Per-core VMEM by device generation. v2-v5 report ~16MB/core (the
+    pallas guide's figure; v5e measured here); Trillium (v6 lite) doubled
+    the on-chip vector memory. Unknown kinds (incl. CPU interpret runs)
+    fall back to the conservative 16MB class."""
+    k = kind.lower()
+    if "v6" in k or "v7" in k or "tpu7" in k:
+        return 32 * 1024 * 1024
+    return 16 * 1024 * 1024
+
+
+def _bc_budget(device_kind: str | None = None) -> int:
+    """VMEM working-set bound for bc>1 grid steps. On v5e (16MB VMEM):
+    Mosaic compile-crashes at 8.6MB (bb=4 at base shapes, docs/PERF.md r3
+    part 2); 4.3MB (base bb=2) and 5.75MB (uniter-large full-head bb=2, r4
+    sweep — compiles, replays, and is the fastest large config at 590.4 vs
+    587.9 ex/s) are measured good, so bc>1 is admitted up to 6MB — between
+    the measured good and bad points (37.5% of VMEM: the block buffers are
+    double-buffered by the pipeline, so ~2x the working set must fit).
+    Other generations scale by their VMEM size (VERDICT r4 #7); the env
+    override (UNITER_ATTN_VMEM_BUDGET, bytes) wins for hardware probes."""
     import os
 
-    return int(os.environ.get("UNITER_ATTN_VMEM_BUDGET",
-                              6 * 1024 * 1024))
+    env = os.environ.get("UNITER_ATTN_VMEM_BUDGET")
+    if env is not None:
+        return int(env)
+    if device_kind is None:
+        try:
+            device_kind = jax.devices()[0].device_kind
+        except Exception:  # backend not initializable -> conservative class
+            device_kind = "unknown"
+    # measured v5e point: 6MB of 16MB; keep the same fraction elsewhere
+    return (_device_vmem_bytes(device_kind) * 6) // 16
 
 
 def _grid_blocks(b, h, s, d, n_bufs, requested):
