@@ -339,6 +339,63 @@ class BertLayer(nn.Module):
         return out
 
 
+class BertAttentionCLS(nn.Module):
+    """Inference-only attention computing ONLY the CLS (position-0) row.
+
+    Param layout is identical to BertAttention, so the last slice of the
+    scanned encoder stack binds directly. Used by the retrieval scoring
+    fast path (utils/itm_fast.py): every retrieval head consumes only
+    ``hidden[:, 0]`` (pooler -> rank_output, reference model/itm.py:33-44),
+    so the final layer's other S-1 rows are dead compute — a [1, S] query
+    slab replaces the [S, S] score matrix and the FFN runs on one row.
+    """
+
+    config: UniterConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias):
+        cfg = self.config
+        b, s, _ = hidden.shape
+        h, d = cfg.num_attention_heads, cfg.head_dim
+        q = Dense(cfg, cfg.hidden_size, name="query")(
+            hidden[:, :1]).reshape(b, 1, h, d)
+        k = Dense(cfg, cfg.hidden_size, name="key")(hidden).reshape(b, s, h, d)
+        v = Dense(cfg, cfg.hidden_size, name="value")(
+            hidden).reshape(b, s, h, d)
+        # XLA path: a 1-row query is far below the Pallas kernel's tile
+        # sizes; the einsum is tiny and fuses with the projections.
+        ctx = multi_head_attention(q, k, v, bias, impl="xla").reshape(
+            b, 1, cfg.hidden_size)
+        out = Dense(cfg, cfg.hidden_size, name="output_dense")(ctx)
+        return DropResLN(cfg, cfg.hidden_dropout_prob,
+                         name="output_LayerNorm")(
+            out, hidden[:, :1], deterministic=True)
+
+
+class BertLayerCLS(nn.Module):
+    """Final BERT layer computing only the CLS row (see BertAttentionCLS).
+
+    Mathematically identical to BertLayer restricted to position 0 —
+    attention is the only cross-position op, and its query rows are
+    independent; FFN/LN are per-position.
+    """
+
+    config: UniterConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias):
+        cfg = self.config
+        attn_out = BertAttentionCLS(cfg, name="attention")(hidden, bias)
+        inter = ACT2FN[cfg.hidden_act](
+            Dense(cfg, cfg.intermediate_size, name="intermediate_dense")(
+                attn_out))
+        out = Dense(cfg, cfg.hidden_size, in_features=cfg.intermediate_size,
+                    name="output_dense")(inter)
+        return DropResLN(cfg, cfg.hidden_dropout_prob,
+                         name="output_LayerNorm")(
+            out, attn_out, deterministic=True)
+
+
 class _ScanBody(nn.Module):
     config: UniterConfig
     deterministic: bool = True
