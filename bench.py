@@ -1,8 +1,9 @@
 """Benchmark: uniter-base fine-tune train-step throughput on one TPU chip.
 
-Prints up to THREE JSON lines (VERDICT r3 #5 — machine-record the
+Prints up to FOUR JSON lines (VERDICT r3 #5 / r4 #3 — machine-record the
 non-flagship paths so regressions show in artifact diffs, not prose):
   {"metric": "itm_retrieval_scoring_throughput", ...}     (extra)
+  {"metric": "pretrain_mix_train_throughput", ...}        (extra)
   {"metric": "uniter_large_finetune_train_throughput", ...} (extra)
   {"metric": "nlvr2_class_finetune_train_throughput", ...}  (flagship, LAST)
 The flagship line prints last so single-line consumers reading the tail
@@ -94,6 +95,23 @@ def bench_retrieval():
     scores, _ids = fast_score_matrix(model, params, ds, t, r, **kw)
     _ = float(np.asarray(scores).reshape(-1)[-1])  # relay fence
     return n_txt * n_img / (time.perf_counter() - t0)
+
+
+def bench_pretrain_mix():
+    """Mixed-task pretrain stream (MLM:ITM:MRFR:MRC = 2:2:1:1, the
+    reference's in-domain ratio — config/pretrain-indomain-base-8gpu.json)
+    at the pretrain flagship shape B=48 S=224 (VERDICT r4 #3: guard the
+    headline pretraining workload, not just fine-tune + retrieval)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    try:
+        from bench_pretrain_tpu import run_mix
+    finally:
+        sys.path.pop(0)
+    if SMOKE:
+        return run_mix(b=4, t=16, r=8, k=2, tiny=True, n_cycles=1)
+    return run_mix(b=48, t=160, r=64, k=8)
 
 
 def bench_large():
@@ -203,9 +221,16 @@ def main():
         return n_iters * k * B / dt
 
     if os.environ.get("UNITER_BENCH_EXTRA", "1") != "0":
+        # pretrain baseline: same estimation method as the flagship
+        # (docstring above) scaled by per-example FLOPs — S=224 vs S=104
+        # puts the pretrain example at ~2.15x the NLVR2-class example
+        # (the masked heads add <2% on top of the trunk), so
+        # 170 / 2.15 ~= 79 ex/s/V100.
         for name, fn, unit, baseline in (
                 ("itm_retrieval_scoring_throughput", bench_retrieval,
                  "pairs/sec/chip", 510.0),
+                ("pretrain_mix_train_throughput", bench_pretrain_mix,
+                 "examples/sec/chip", 79.0),
                 ("uniter_large_finetune_train_throughput", bench_large,
                  "examples/sec/chip", 55.0)):
             try:

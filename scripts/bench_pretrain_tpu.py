@@ -35,37 +35,124 @@ K = int(os.environ.get("UNITER_BENCH_STEPS_PER_CALL", "8"))
 TASKS = ["mlm", "mrfr", "mrc-kl", "itm", "itm_no_ot", "itm_ot_xla"]
 
 
-def make_batch(task, rng):
+def make_batch(task, rng, b=None, t=None, r=None, m_txt=None, m_img=None,
+               img_dim=None, label_dim=None, vocab=28000):
     import jax.numpy as jnp
 
+    b, t, r = b or B, t or T, r or R
+    m_txt, m_img = m_txt or M_TXT, m_img or M_IMG
+    img_dim, label_dim = img_dim or IMG_DIM, label_dim or IMG_LABEL_DIM
     batch = dict(
-        input_ids=jnp.asarray(rng.randint(1, 28000, (B, T)), jnp.int32),
+        input_ids=jnp.asarray(rng.randint(1, vocab, (b, t)), jnp.int32),
         position_ids=jnp.broadcast_to(
-            jnp.arange(T, dtype=jnp.int32), (B, T)),
-        img_feat=jnp.asarray(rng.randn(B, R, IMG_DIM).astype(np.float32)),
-        img_pos_feat=jnp.asarray(rng.rand(B, R, 7).astype(np.float32)),
-        attn_mask=jnp.ones((B, T + R), jnp.int32),
+            jnp.arange(t, dtype=jnp.int32), (b, t)),
+        img_feat=jnp.asarray(rng.randn(b, r, img_dim).astype(np.float32)),
+        img_pos_feat=jnp.asarray(rng.rand(b, r, 7).astype(np.float32)),
+        attn_mask=jnp.ones((b, t + r), jnp.int32),
     )
     if task == "mlm":
         batch["mlm_pos"] = jnp.asarray(
-            np.sort(rng.choice(T, (B, M_TXT), replace=True), -1), jnp.int32)
+            np.sort(rng.choice(t, (b, m_txt), replace=True), -1), jnp.int32)
         batch["mlm_tgt"] = jnp.asarray(
-            rng.randint(1, 28000, (B, M_TXT)), jnp.int32)
+            rng.randint(1, vocab, (b, m_txt)), jnp.int32)
     elif task in ("mrfr", "mrc-kl"):
         batch["mrm_pos"] = jnp.asarray(
-            np.sort(rng.choice(R, (B, M_IMG), replace=True), -1), jnp.int32)
-        batch["mrm_valid"] = jnp.ones((B, M_IMG), jnp.float32)
+            np.sort(rng.choice(r, (b, m_img), replace=True), -1), jnp.int32)
+        batch["mrm_valid"] = jnp.ones((b, m_img), np.float32)
         if task == "mrfr":
             batch["feat_targets"] = jnp.asarray(
-                rng.randn(B, M_IMG, IMG_DIM).astype(np.float32))
+                rng.randn(b, m_img, img_dim).astype(np.float32))
         else:
-            soft = rng.rand(B, M_IMG, IMG_LABEL_DIM).astype(np.float32)
+            soft = rng.rand(b, m_img, label_dim).astype(np.float32)
             batch["label_targets"] = jnp.asarray(
                 soft / soft.sum(-1, keepdims=True))
     else:  # itm variants
         batch["targets"] = jnp.asarray(
-            rng.randint(0, 2, (B,)), jnp.int32)
+            rng.randint(0, 2, (b,)), jnp.int32)
     return batch
+
+
+# the reference's in-domain mix MLM:ITM:MRFR:MRC = 2:2:1:1
+# (config/pretrain-indomain-base-8gpu.json mix_ratio) as a repeating cycle
+MIX_CYCLE = ("mlm", "itm", "mlm", "itm", "mrfr", "mrc-kl")
+
+
+def run_mix(b=B, t=T, r=R, k=K, tiny=False, ot_lambda=0.1, n_cycles=2):
+    """Mixed-task pretrain throughput (examples/sec/chip): one compiled
+    step per task (pretrain.py get_step), tasks dispatched in the
+    reference's 2:2:1:1 in-domain ratio, k same-task steps per relay call
+    (the MixedTaskLoop's steps_per_call grouping). Returns delivered ex/s
+    over full ratio cycles — the MetaLoader-stream rate bench.py guards
+    (VERDICT r4 #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uniter_tpu.config import base_config, tiny_config
+    from uniter_tpu.models.pretrain import UniterForPretraining
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.sched import get_lr_schedule
+    from uniter_tpu.training.step import TrainState, make_train_step
+
+    if tiny:
+        cfg = tiny_config(dtype="bfloat16", attention_impl="xla",
+                          scan_unroll=2, block_fusion="none")
+        img_dim, label_dim, vocab = 32, 17, 500
+        m_txt, m_img = 4, 2
+    else:
+        cfg = base_config(dtype="bfloat16", attention_impl="pallas",
+                          scan_unroll=12, block_fusion="pallas",
+                          attn_batch_block=int(os.environ.get(
+                              "UNITER_BENCH_ATTN_BB", "2")))
+        img_dim, label_dim, vocab = IMG_DIM, IMG_LABEL_DIM, 28000
+        m_txt = max(1, round(t * 0.15))
+        m_img = max(1, round(r * 0.15))
+    model = UniterForPretraining(cfg, img_dim=img_dim,
+                                 img_label_dim=label_dim)
+    kw = dict(b=b, t=t, r=r, m_txt=m_txt, m_img=m_img, img_dim=img_dim,
+              label_dim=label_dim, vocab=vocab)
+    rng_np = np.random.RandomState(0)
+    init_batch = {}
+    for task in ("mlm", "mrfr", "mrc-kl", "itm"):
+        init_batch.update(make_batch(task, rng_np, **kw))
+    params = model.init({"params": jax.random.PRNGKey(0)}, init_batch,
+                        method=UniterForPretraining.init_all)["params"]
+    tx = build_optimizer(params, get_lr_schedule(5e-5, 500, 5000),
+                         grad_norm=2.0, weight_decay=0.01, fused=True,
+                         mu_dtype=None, nu_dtype=None)
+    state = TrainState.create(params, tx)
+    rng = jax.random.key(1, impl="rbg")
+
+    steps, batches = {}, {}
+    for task in sorted(set(MIX_CYCLE)):
+        def loss_fn(p, batch, r_, _task=task):
+            scalar, metrics = model.apply(
+                {"params": p}, batch, _task,
+                ot_lambda=ot_lambda if _task == "itm" else 0.0,
+                deterministic=False, rngs={"dropout": r_},
+                method=UniterForPretraining.scalar_loss)
+            return scalar, metrics
+
+        steps[task] = make_train_step(loss_fn, loss_scale="mean",
+                                      steps_per_call=k)
+        batch = make_batch(task, np.random.RandomState(1), **kw)
+        if k > 1:
+            batch = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (k,) + x.shape), batch)
+        batches[task] = batch
+
+    def cycle(state):
+        for task in MIX_CYCLE:
+            state, metrics = steps[task](state, batches[task], rng)
+        return state, metrics
+
+    state, metrics = cycle(state)  # compile all four programs
+    assert np.isfinite(float(np.asarray(metrics["loss"]).reshape(-1)[-1]))
+    t0 = time.perf_counter()
+    for _ in range(n_cycles):
+        state, metrics = cycle(state)
+    _ = float(np.asarray(metrics["loss"]).reshape(-1)[-1])  # relay fence
+    dt = time.perf_counter() - t0
+    return n_cycles * len(MIX_CYCLE) * k * b / dt
 
 
 def main():

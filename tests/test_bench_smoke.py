@@ -3,7 +3,7 @@
 The driver runs ``python bench.py`` on real TPU at the end of every round
 and records its JSON lines; a host-logic bug there (e.g. mis-unpacking a
 result tuple) silently drops a metric from the round artifact. This test
-drives the full 3-line pipeline under UNITER_BENCH_SMOKE=1 so that logic
+drives the full 4-line pipeline under UNITER_BENCH_SMOKE=1 so that logic
 is exercised every round on CPU.
 """
 import json
@@ -17,13 +17,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 EXPECTED = [
     "itm_retrieval_scoring_throughput",
+    "pretrain_mix_train_throughput",
     "uniter_large_finetune_train_throughput",
     "nlvr2_class_finetune_train_throughput",
 ]
 
 
 @pytest.mark.e2e
-def test_bench_smoke_emits_three_lines():
+def test_bench_smoke_emits_all_lines():
     env = dict(os.environ)
     env.update(
         UNITER_BENCH_SMOKE="1",
