@@ -38,12 +38,16 @@ MODELS = {
 CANNED_SEED, B, T, R = 1234, 4, 16, 8
 
 
-def canned_batch():
+def canned_batch(vocab_size: int = 28996):
+    # ids drawn in [1000, 20000): the modulo is a NO-OP for the real
+    # released vocab (28996) and keeps the offline tiny-config self-test
+    # (tests/test_released_checkpoints.py) in range
     import jax.numpy as jnp
 
     rng = np.random.RandomState(CANNED_SEED)
     return dict(
-        input_ids=jnp.asarray(rng.randint(1000, 20000, (B, T)), jnp.int32),
+        input_ids=jnp.asarray(
+            rng.randint(1000, 20000, (B, T)) % vocab_size, jnp.int32),
         position_ids=jnp.broadcast_to(
             jnp.arange(T, dtype=jnp.int32), (B, T)),
         img_feat=jnp.asarray(
@@ -68,7 +72,7 @@ def zero_shot_logits(ckpt_path: str, json_file: str) -> dict:
         UniterConfig.from_json_file(json_file, dtype="float32",
                                     attention_impl="xla"))
     model = UniterForImageTextRetrieval(cfg, img_dim=2048)
-    batch = canned_batch()
+    batch = canned_batch(cfg.vocab_size)
     params = model.init({"params": jax.random.PRNGKey(0)}, batch, False)[
         "params"]
     params = driver.load_trunk_checkpoint(
@@ -100,7 +104,7 @@ def nlvr2_logits(ckpt_path: str, json_file: str) -> dict:
                                     attention_impl="xla",
                                     type_vocab_size=3))
     model = UniterForNlvr2Paired(cfg, img_dim=2048)
-    batch = canned_batch()
+    batch = canned_batch(cfg.vocab_size)
     batch["img_type_ids"] = (np.ones((B, R), np.int32)
                              * (np.arange(B)[:, None] % 2 + 1)).astype(
                                  np.int32)
@@ -117,6 +121,113 @@ def nlvr2_logits(ckpt_path: str, json_file: str) -> dict:
         nlvr2_logits=[round(float(v), 6) for v in logits.reshape(-1)],
         nlvr2_logits_mean=round(float(logits.mean()), 6),
     )
+
+
+def vqa_logits(ckpt_path: str, json_file: str, num_answer: int = 8) -> dict:
+    """Trunk-loaded VQA logits (train_vqa.py's exact load: plain trunk
+    merge, head fresh-init from PRNGKey(0) — reference
+    model/vqa.py from_pretrained + train_vqa.py:210)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from uniter_tpu.config import UniterConfig, resolve_kernel_policies
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
+    from uniter_tpu.training import driver
+
+    cfg = resolve_kernel_policies(
+        UniterConfig.from_json_file(json_file, dtype="float32",
+                                    attention_impl="xla"))
+    model = UniterForVisualQuestionAnswering(cfg, img_dim=2048,
+                                             num_answer=num_answer)
+    batch = canned_batch(cfg.vocab_size)
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch, False)[
+        "params"]
+    params = driver.load_trunk_checkpoint(
+        params, SimpleNamespace(checkpoint=ckpt_path), cfg)
+    logits = np.asarray(
+        model.apply({"params": params}, batch, False), np.float64)
+    return dict(
+        vqa_logits=[round(float(v), 6) for v in logits.reshape(-1)],
+        vqa_logits_mean=round(float(logits.mean()), 6),
+    )
+
+
+def vcr_logits(ckpt_path: str, json_file: str) -> dict:
+    """VCR surgeries locked: 4 token-type rows (rows 2,3 <- row 0) and
+    +81 special word rows (train_vcr.py build_model_and_params;
+    reference train_vcr.py:37, model/vcr.py:32-41)."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from uniter_tpu.config import UniterConfig, resolve_kernel_policies
+    from uniter_tpu.models.vcr import (NUM_SPECIAL_TOKENS,
+                                       UniterForVisualCommonsenseReasoning)
+    from uniter_tpu.training import driver
+
+    cfg = resolve_kernel_policies(
+        UniterConfig.from_json_file(json_file, dtype="float32",
+                                    attention_impl="xla",
+                                    type_vocab_size=4))
+    cfg = cfg.replace(vocab_size=cfg.vocab_size + NUM_SPECIAL_TOKENS)
+    model = UniterForVisualCommonsenseReasoning(cfg, img_dim=2048)
+    batch = canned_batch(cfg.vocab_size)
+    rng = np.random.RandomState(CANNED_SEED + 1)
+    batch["txt_type_ids"] = jnp.asarray(
+        rng.randint(0, 4, (B, T)), jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch, False)[
+        "params"]
+    params = driver.load_trunk_checkpoint(
+        params, SimpleNamespace(checkpoint=ckpt_path), cfg,
+        n_type_rows=4, type_copy_row=0,
+        n_special_words=NUM_SPECIAL_TOKENS)
+    logits = np.asarray(
+        model.apply({"params": params}, batch, False), np.float64)
+    return dict(
+        vcr_logits=[round(float(v), 6) for v in logits.reshape(-1)],
+        vcr_logits_mean=round(float(logits.mean()), 6),
+    )
+
+
+def re_logits(ckpt_path: str, json_file: str) -> dict:
+    """Trunk-loaded RE region scores (train_re.py's load path; region mask
+    from the canned attn_mask — reference model/re.py:68)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from uniter_tpu.config import UniterConfig, resolve_kernel_policies
+    from uniter_tpu.models.re import UniterForReferringExpressionComprehension
+    from uniter_tpu.training import driver
+
+    cfg = resolve_kernel_policies(
+        UniterConfig.from_json_file(json_file, dtype="float32",
+                                    attention_impl="xla"))
+    model = UniterForReferringExpressionComprehension(cfg, img_dim=2048)
+    batch = canned_batch(cfg.vocab_size)
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch, False)[
+        "params"]
+    params = driver.load_trunk_checkpoint(
+        params, SimpleNamespace(checkpoint=ckpt_path), cfg)
+    scores = np.asarray(
+        model.apply({"params": params}, batch, False), np.float64)
+    return dict(
+        re_scores=[round(float(v), 6) for v in scores.reshape(-1)],
+        re_scores_mean=round(float(scores.mean()), 6),
+    )
+
+
+# the per-task golden surface: every fine-tune head surgery the drivers
+# perform (VERDICT r4 #5) — each function runs the EXACT driver load path
+TASK_GOLDEN_FNS = dict(
+    itm_zero_shot=zero_shot_logits,
+    nlvr2=nlvr2_logits,
+    vqa=vqa_logits,
+    vcr=vcr_logits,
+    re=re_logits,
+)
 
 
 def load_accounting(ckpt_path: str, num_layers: int) -> dict:
@@ -150,12 +261,9 @@ def main():
         with open(path, "rb") as f:
             sha = hashlib.sha256(f.read()).hexdigest()
         layers = 24 if "large" in name else 12
-        golden[name] = dict(
-            sha256=sha,
-            **load_accounting(path, layers),
-            **zero_shot_logits(path, spec["json_file"]),
-            **nlvr2_logits(path, spec["json_file"]),
-        )
+        golden[name] = dict(sha256=sha, **load_accounting(path, layers))
+        for fn in TASK_GOLDEN_FNS.values():
+            golden[name].update(fn(path, spec["json_file"]))
         print(f"[ok] {name}: {golden[name]['n_trunk_tensors']} trunk "
               f"tensors, logits mean {golden[name]['logits_mean']}")
     with open(opts.output, "w") as f:

@@ -141,7 +141,8 @@ def main(opts):
 
     from uniter_tpu.data.loader import DevicePrefetcher
     from uniter_tpu.training.loop import (
-        NanGuard, default_prng_key, device_put_batch, warn_preempted,
+        NanGuard, bound_inflight, default_prng_key, device_put_batch,
+        warn_preempted,
     )
 
     def stacked_batches():
@@ -191,6 +192,7 @@ def main(opts):
             state, metrics = step(state, stacked, rng)  # folds in state.step
             global_step += 1
             pending.append((global_step, metrics["loss"]))
+            bound_inflight(pending)  # XLA:CPU rendezvous abort guard
             if global_step % 100 == 0:
                 flush()
                 # reference telemetry (train_itm_hard_negatives.py:228-237):

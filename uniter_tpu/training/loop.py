@@ -23,6 +23,7 @@ from enqueueing the next step).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
@@ -35,6 +36,26 @@ from uniter_tpu.parallel.mesh import (
 )
 from uniter_tpu.training.step import TrainState, make_train_step
 from uniter_tpu.utils.logger import LOGGER, RunningMeter, TB_LOGGER
+
+
+# Deferred readback must still be BOUNDED: XLA:CPU collectives hard-abort
+# (rendezvous.cc 40s termination timeout) when a participant thread of an
+# in-flight program is starved — which an unbounded async dispatch backlog
+# on an oversubscribed host (e.g. the 8-device virtual mesh on 1 vCPU)
+# reliably produces on long runs. Once the window fills, force a host
+# readback of the OLDEST pending loss: free if that step already finished,
+# a dispatch throttle if it hasn't. 16 in-flight steps still hides the
+# ~10ms/dispatch relay latency at 30-60ms/step on TPU.
+MAX_INFLIGHT_STEPS = int(os.environ.get("UNITER_MAX_INFLIGHT_STEPS", "16"))
+
+
+def bound_inflight(pending):
+    """Cap in-flight step programs by materializing the oldest pending
+    loss in place (entries are tuples whose LAST element is the device
+    value; flush() accepts the materialized array unchanged)."""
+    if MAX_INFLIGHT_STEPS and len(pending) >= MAX_INFLIGHT_STEPS:
+        e = pending[0]
+        pending[0] = (*e[:-1], np.asarray(e[-1]))
 
 
 def place_state(state: TrainState, mesh, *, fsdp: bool = False,
@@ -416,6 +437,7 @@ class TrainLoop:
             # base key only — the step folds in state.step itself
             state, metrics = self.step_fn(state, jb, self.rng)
             pending.append((global_step + 1, metrics["loss"]))
+            bound_inflight(pending)
             global_step += self.k  # == int(state.step) without a device sync
             if (self.profile_dir is not None and profiling
                     and global_step > self.profile_steps[1]):
@@ -640,6 +662,7 @@ class MixedTaskLoop:
             state, metrics = self.get_step(task)(state, jb, self.rng)
             global_step += 1
             pending.append((global_step, name, metrics["loss"]))
+            bound_inflight(pending)
             if (self.profile_dir is not None and self._profiling
                     and global_step > self.profile_steps[1]):
                 _ = np.asarray(metrics["loss"])  # host readback fence
