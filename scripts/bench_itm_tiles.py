@@ -75,7 +75,9 @@ def main():
             dt = time.perf_counter() - t1
             rec = dict(txt_tile=tt, img_tile=it,
                        pairs_per_s=round(N_TXT * N_IMG / dt),
-                       wall_s=round(time.time() - t0, 1))
+                       wall_s=round(time.time() - t0, 1),
+                       cls_path=os.environ.get("UNITER_ITM_CLS_PATH", "1"),
+                       attn_bb=os.environ.get("UNITER_ITM_ATTN_BB", ""))
             assert np.isfinite(mat).all()
         except Exception as e:
             rec = dict(txt_tile=tt, img_tile=it, error=repr(e)[:300],

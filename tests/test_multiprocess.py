@@ -1,9 +1,10 @@
-"""Multi-host collectives exercised for real: a 2-process jax.distributed
-CPU job runs all_gather_list / all_gather_array / barrier and the
-process-strided dataset split (reference equivalents:
-utils/distributed.py:179-209 pickle-over-allgather and data/data.py:218-225
+"""Multi-host collectives exercised for real: P-process jax.distributed
+CPU jobs (P=2 and P=4 — VERDICT r4 #6) run all_gather_list /
+all_gather_array / barrier and the process-strided dataset split
+(reference equivalents: utils/distributed.py:179-209
+pickle-over-allgather and data/data.py:218-225
 ids[hvd.rank()::hvd.size()]). Single-process branches are covered
-elsewhere; this is the only test where process_count() > 1."""
+elsewhere; these are the only tests where process_count() > 1."""
 
 import os
 import pytest
@@ -22,28 +23,31 @@ os.environ.pop("XLA_FLAGS", None)  # no virtual device count in workers
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-port, pid = sys.argv[1], int(sys.argv[2])
+port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[4])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=pid)
+                           num_processes=nproc, process_id=pid)
 sys.path.insert(0, sys.argv[3])
 from uniter_tpu.parallel.collectives import (
     all_gather_list, all_gather_array, barrier, num_processes, process_index)
-assert num_processes() == 2 and process_index() == pid
+assert num_processes() == nproc and process_index() == pid
 
 # pickled-object gather with unequal payload sizes (tests the pad logic)
 got = all_gather_list({"rank": pid, "pad": "x" * (10 + pid * 1000)})
-assert [g["rank"] for g in got] == [0, 1], got
-assert len(got[1]["pad"]) == 1010
+assert [g["rank"] for g in got] == list(range(nproc)), got
+for i, g in enumerate(got):
+    assert len(g["pad"]) == 10 + i * 1000
 
 # equal-shape array gather (the retrieval score-matrix path)
 arr = all_gather_array(np.full((3, 2), pid, np.float32))
-assert arr.shape == (2, 3, 2) and arr[0, 0, 0] == 0 and arr[1, 0, 0] == 1
+assert arr.shape == (nproc, 3, 2)
+for i in range(nproc):
+    assert arr[i, 0, 0] == i
 
 barrier("test")
 
 # process-strided dataset split: every id exactly once across processes
 ids = [f"ex_{i}" for i in range(11)]
-mine = ids[pid::2]
+mine = ids[pid::nproc]
 parts = all_gather_list(mine)
 flat = sorted(x for part in parts for x in part)
 assert flat == sorted(ids), flat
@@ -59,21 +63,29 @@ def _free_port():
     return port
 
 
-def test_two_process_collectives(tmp_path):
-    worker = tmp_path / "worker.py"
-    worker.write_text(WORKER)
+def _run_workers(tmp_path, src, nproc, extra_args=(), name="worker"):
+    worker = tmp_path / f"{name}.py"
+    worker.write_text(src)
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), port, str(pid), REPO],
+            [sys.executable, str(worker), port, str(pid), REPO,
+             *[str(a) for a in extra_args], str(nproc)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
-        for pid in range(2)
+        for pid in range(nproc)
     ]
-    outs = [p.communicate(timeout=180)[0] for p in procs]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    return outs
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_collectives(tmp_path, nproc):
+    outs = _run_workers(tmp_path, WORKER, nproc)
+    for pid, out in enumerate(outs):
         assert f"WORKER_OK {pid}" in out, out
 
 
@@ -84,10 +96,11 @@ os.environ.pop("XLA_FLAGS", None)
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process, 4 global
+jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process
 port, pid, repo, dbroot = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+nproc = int(sys.argv[5])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=pid)
+                           num_processes=nproc, process_id=pid)
 sys.path.insert(0, repo)
 import jax.numpy as jnp
 from uniter_tpu.config import tiny_config
@@ -102,14 +115,14 @@ from uniter_tpu.training.loop import device_put_batch, jnp_batch, place_state
 from uniter_tpu.training.optim import build_optimizer
 from uniter_tpu.training.step import TrainState, make_train_step
 
-assert len(jax.devices()) == 4
+assert len(jax.devices()) == 2 * nproc
 mesh = make_mesh(MeshConfig(data=-1))
 ds = VqaDataset(5, TxtTokDb(f"{dbroot}/txt", max_txt_len=20),
                 DetectFeatDb(f"{dbroot}/img", 0.2, 10, 3, 5))
 spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,), token_budget=192,
                   size_mul=8)  # -> global batch 8 examples
 loader = BucketLoader(ds, spec, seed=11, loop=True,
-                      shard_index=pid, shard_count=2)
+                      shard_index=pid, shard_count=nproc)
 cfg = tiny_config()
 model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
 init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
@@ -132,7 +145,7 @@ it = iter(loader)
 losses = []
 for _ in range(3):
     batch = next(it)
-    assert batch["input_ids"].shape[0] == 4  # local block = 8 // 2
+    assert batch["input_ids"].shape[0] == 8 // nproc  # local block
     jb = device_put_batch(jnp_batch(batch), mesh)
     state, m = step(state, jb, jax.random.PRNGKey(0))
     losses.append(float(np.asarray(m["loss"])))
@@ -140,13 +153,7 @@ print("LOSSES", pid, " ".join(f"{x:.10f}" for x in losses), flush=True)
 """
 
 
-def test_two_process_training_matches_single(tmp_path):
-    """Distributed training over a 2-process global mesh: both hosts follow
-    the shared batch plan (loader-level sharding), assemble global batches
-    from per-host blocks, and the loss trajectory matches a single-process
-    run on the same plan exactly."""
-    import json
-
+def _write_vqa_dbs(tmp_path, n_txt=16):
     import numpy as np
 
     from uniter_tpu.data import write_img_db, write_txt_db
@@ -162,7 +169,7 @@ def test_two_process_training_matches_single(tmp_path):
                  min_bb=3)
     meta = {"CLS": 2, "SEP": 3, "MASK": 4, "v_range": [6, 400]}
     trecs, t2i = {}, {}
-    for i in range(16):
+    for i in range(n_txt):
         tid = f"q{i}"
         trecs[tid] = dict(
             input_ids=[int(x) for x in rng.randint(6, 400, 7)],
@@ -170,55 +177,28 @@ def test_two_process_training_matches_single(tmp_path):
             target={"labels": [int(rng.randint(0, 5))], "scores": [1.0]})
         t2i[tid] = img_names[i % 4]
     write_txt_db(str(tmp_path / "txt"), trecs, meta, t2i)
-    del json
 
-    worker = tmp_path / "train_worker.py"
-    worker.write_text(TRAIN_WORKER)
-    port = str(_free_port())
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), port, str(pid), REPO,
-             str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env)
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    losses = {}
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-        line = [ln for ln in out.splitlines() if ln.startswith("LOSSES")][0]
-        losses[pid] = [float(x) for x in line.split()[2:]]
-    assert losses[0] == losses[1], losses
 
-    # single-process oracle: same plan (shard_count=1 yields full batches),
-    # same model/optimizer, 4-device mesh
+def _vqa_oracle_setup(tmp_path, n_devices):
     import jax
     import jax.numpy as jnp
 
     from uniter_tpu.config import tiny_config
     from uniter_tpu.data.buckets import BucketSpec
     from uniter_tpu.data.img_db import DetectFeatDb
-    from uniter_tpu.data.loader import BucketLoader
     from uniter_tpu.data.txt_db import TxtTokDb
     from uniter_tpu.data.vqa import VqaDataset
+    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
     from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
-    from uniter_tpu.training.loop import (
-        device_put_batch, jnp_batch, place_state,
-    )
-    from uniter_tpu.training.optim import build_optimizer
-    from uniter_tpu.training.step import TrainState, make_train_step
 
-    mesh = make_mesh(MeshConfig(data=4), devices=jax.devices()[:4])
+    mesh = (make_mesh(MeshConfig(data=n_devices),
+                      devices=jax.devices()[:n_devices])
+            if n_devices else None)
     ds = VqaDataset(5, TxtTokDb(str(tmp_path / "txt"), max_txt_len=20),
                     DetectFeatDb(str(tmp_path / "img"), 0.2, 10, 3, 5))
     spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,),
                       token_budget=192, size_mul=8)
-    loader = BucketLoader(ds, spec, seed=11, loop=True)
     cfg = tiny_config()
-    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
-
     model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
     init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
                   position_ids=jnp.zeros((2, 16), jnp.int32),
@@ -227,6 +207,41 @@ def test_two_process_training_matches_single(tmp_path):
                   attn_mask=jnp.ones((2, 24), jnp.int32))
     params = model.init({"params": jax.random.PRNGKey(0)}, init_b, False)[
         "params"]
+    return mesh, ds, spec, model, params
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_training_matches_single(tmp_path, nproc):
+    """Distributed training over a P-process global mesh: all hosts follow
+    the shared batch plan (loader-level sharding), assemble global batches
+    from per-host blocks, and the loss trajectory matches a single-process
+    run on the same plan exactly."""
+    import numpy as np
+
+    _write_vqa_dbs(tmp_path)
+    outs = _run_workers(tmp_path, TRAIN_WORKER, nproc,
+                        extra_args=[str(tmp_path)], name="train_worker")
+    losses = {}
+    for pid, out in enumerate(outs):
+        line = [ln for ln in out.splitlines() if ln.startswith("LOSSES")][0]
+        losses[pid] = [float(x) for x in line.split()[2:]]
+    for pid in range(1, nproc):
+        assert losses[0] == losses[pid], losses
+
+    # single-process oracle: same plan (shard_count=1 yields full batches),
+    # same model/optimizer, (2 * nproc)-device mesh
+    import jax
+    import jax.numpy as jnp
+
+    from uniter_tpu.data.loader import BucketLoader
+    from uniter_tpu.training.loop import (
+        device_put_batch, jnp_batch, place_state,
+    )
+    from uniter_tpu.training.optim import build_optimizer
+    from uniter_tpu.training.step import TrainState, make_train_step
+
+    mesh, ds, spec, model, params = _vqa_oracle_setup(tmp_path, 2 * nproc)
+    loader = BucketLoader(ds, spec, seed=11, loop=True)
     tx = build_optimizer(params, 1e-3, grad_norm=2.0, weight_decay=0.01)
     state = place_state(TrainState.create(params, tx), mesh)
 
@@ -253,10 +268,11 @@ os.environ.pop("XLA_FLAGS", None)
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process, 4 global
+jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process
 port, pid, repo, dbroot = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+nproc = int(sys.argv[5])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=pid)
+                           num_processes=nproc, process_id=pid)
 sys.path.insert(0, repo)
 import jax.numpy as jnp
 from uniter_tpu.config import tiny_config
@@ -278,7 +294,7 @@ ds = VqaDataset(5, TxtTokDb(f"{dbroot}/txt", max_txt_len=20),
 spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,), token_budget=192,
                   size_mul=8)
 loader = BucketLoader(ds, spec, seed=11, loop=True,
-                      shard_index=pid, shard_count=2)
+                      shard_index=pid, shard_count=nproc)
 cfg = tiny_config()
 model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
 init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
@@ -292,7 +308,7 @@ tx = build_optimizer(params, 1e-3, grad_norm=2.0, weight_decay=0.01)
 state = place_state(TrainState.create(params, tx), mesh)
 
 # restore the checkpoint a SINGLE-process run saved at step 2 into this
-# 2-process topology (elastic resume: the shared-plan loader contract makes
+# P-process topology (elastic resume: the shared-plan loader contract makes
 # host count a free parameter)
 saver = TrainStateSaver(f"{dbroot}/out")
 state = saver.restore(state)
@@ -308,55 +324,29 @@ it = iter(loader)
 for _ in range(2):   # skip the batches steps 1-2 consumed (same seed plan)
     next(it)
 batch = next(it)
-assert batch["input_ids"].shape[0] == 4  # local block = 8 // 2
+assert batch["input_ids"].shape[0] == 8 // nproc  # local block
 jb = device_put_batch(jnp_batch(batch), mesh)
 state, m = step(state, jb, jax.random.PRNGKey(0))
 print("STEP3_LOSS", pid, f"{float(np.asarray(m['loss'])):.10f}", flush=True)
 """
 
 
-def test_resume_single_process_ckpt_in_two_process_run(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_resume_single_process_ckpt_in_multi_process_run(tmp_path, nproc):
     """Elastic resume across topologies: a checkpoint saved by a
-    1-process/4-device run restores into a 2-process (2 devices each)
+    1-process/4-device run restores into a P-process (2 devices each)
     job and the continued trajectory matches the uninterrupted
     single-process run. Host count is a free parameter because sharding
     lives in the loader (shared global batch plan), not the dataset."""
     import numpy as np
 
-    from uniter_tpu.data import write_img_db, write_txt_db
-
-    rng = np.random.RandomState(0)
-    img_names = [f"im_{i}.npz" for i in range(4)]
-    recs = {n: dict(features=rng.randn(5, 2048).astype(np.float16),
-                    norm_bb=rng.rand(5, 6).astype(np.float16),
-                    conf=np.linspace(1, .5, 5).astype(np.float16),
-                    soft_labels=rng.rand(5, 1601).astype(np.float16))
-            for n in img_names}
-    write_img_db(str(tmp_path / "img"), recs, conf_th=0.2, max_bb=10,
-                 min_bb=3)
-    meta = {"CLS": 2, "SEP": 3, "MASK": 4, "v_range": [6, 400]}
-    trecs, t2i = {}, {}
-    for i in range(16):
-        tid = f"q{i}"
-        trecs[tid] = dict(
-            input_ids=[int(x) for x in rng.randint(6, 400, 7)],
-            img_fname=img_names[i % 4],
-            target={"labels": [int(rng.randint(0, 5))], "scores": [1.0]})
-        t2i[tid] = img_names[i % 4]
-    write_txt_db(str(tmp_path / "txt"), trecs, meta, t2i)
+    _write_vqa_dbs(tmp_path)
 
     # phase A: single-process 4-device run, 3 steps; checkpoint at step 2
     import jax
     import jax.numpy as jnp
 
-    from uniter_tpu.config import tiny_config
-    from uniter_tpu.data.buckets import BucketSpec
-    from uniter_tpu.data.img_db import DetectFeatDb
     from uniter_tpu.data.loader import BucketLoader
-    from uniter_tpu.data.txt_db import TxtTokDb
-    from uniter_tpu.data.vqa import VqaDataset
-    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
-    from uniter_tpu.parallel.mesh import MeshConfig, make_mesh
     from uniter_tpu.training.loop import (
         device_put_batch, jnp_batch, place_state,
     )
@@ -364,21 +354,8 @@ def test_resume_single_process_ckpt_in_two_process_run(tmp_path):
     from uniter_tpu.training.step import TrainState, make_train_step
     from uniter_tpu.utils.save import TrainStateSaver
 
-    mesh = make_mesh(MeshConfig(data=4), devices=jax.devices()[:4])
-    ds = VqaDataset(5, TxtTokDb(str(tmp_path / "txt"), max_txt_len=20),
-                    DetectFeatDb(str(tmp_path / "img"), 0.2, 10, 3, 5))
-    spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,),
-                      token_budget=192, size_mul=8)
+    mesh, ds, spec, model, params = _vqa_oracle_setup(tmp_path, 4)
     loader = BucketLoader(ds, spec, seed=11, loop=True)
-    cfg = tiny_config()
-    model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
-    init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
-                  position_ids=jnp.zeros((2, 16), jnp.int32),
-                  img_feat=jnp.zeros((2, 8, 2048), jnp.float32),
-                  img_pos_feat=jnp.zeros((2, 8, 7), jnp.float32),
-                  attn_mask=jnp.ones((2, 24), jnp.int32))
-    params = model.init({"params": jax.random.PRNGKey(0)}, init_b, False)[
-        "params"]
     tx = build_optimizer(params, 1e-3, grad_norm=2.0, weight_decay=0.01)
     state = place_state(TrainState.create(params, tx), mesh)
 
@@ -399,27 +376,16 @@ def test_resume_single_process_ckpt_in_two_process_run(tmp_path):
         if i == 1:
             saver.save(2, state)
 
-    # phase B: 2-process job restores the step-2 ckpt and runs step 3
-    worker = tmp_path / "resume_worker.py"
-    worker.write_text(RESUME_WORKER)
-    port = str(_free_port())
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), port, str(pid), REPO,
-             str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env)
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    # phase B: P-process job restores the step-2 ckpt and runs step 3
+    outs = _run_workers(tmp_path, RESUME_WORKER, nproc,
+                        extra_args=[str(tmp_path)], name="resume_worker")
     step3 = {}
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    for pid, out in enumerate(outs):
         line = [ln for ln in out.splitlines()
                 if ln.startswith("STEP3_LOSS")][0]
         step3[pid] = float(line.split()[2])
-    assert step3[0] == step3[1], step3
+    for pid in range(1, nproc):
+        assert step3[0] == step3[pid], step3
     np.testing.assert_allclose(step3[0], oracle_losses[2],
                                rtol=1e-6, atol=1e-7)
 
@@ -431,10 +397,11 @@ os.environ.pop("XLA_FLAGS", None)
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process, 4 global
+jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process
 port, pid, repo, dbroot = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+nproc = int(sys.argv[5])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=pid)
+                           num_processes=nproc, process_id=pid)
 sys.path.insert(0, repo)
 import jax.numpy as jnp
 from uniter_tpu.config import tiny_config
@@ -452,10 +419,11 @@ from uniter_tpu.training.loop import jnp_batch
 mesh = local_eval_mesh()
 assert mesh.shape["data"] == 2, mesh
 
-# dataset-level sharding (the inf_* contract: host-local compute + gather)
+# dataset-level sharding (the inf_* contract: host-local compute + gather);
+# 18 texts do NOT divide evenly at nproc=4 (strided shards of 5/5/4/4)
 ds = VqaDataset(5, TxtTokDb(f"{dbroot}/txt", max_txt_len=20),
                 DetectFeatDb(f"{dbroot}/img", 0.2, 10, 3, 5),
-                shard_index=pid, shard_count=2)
+                shard_index=pid, shard_count=nproc)
 spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,), token_budget=192,
                   size_mul=8)
 loader = BucketLoader(ds, spec, shuffle=False, drop_last=False)
@@ -480,87 +448,37 @@ parts = all_gather_list(results)
 merged = {}
 for part in parts:
     merged.update(part)
-assert len(merged) == 16, sorted(merged)
+assert len(merged) == 18, sorted(merged)
 if pid == 0:
     np.savez(f"{dbroot}/eval_logits.npz", **merged)
 print("EVAL_OK", pid, flush=True)
 """
 
 
-def test_two_process_chip_parallel_eval_matches_single(tmp_path):
-    """Two-level eval parallelism for real: a 2-process job shards the
-    dataset per process, spreads each batch over its local chips
-    (infer.local_eval_mesh + eval_put), gathers, and the merged logits
-    equal a single-process single-mesh evaluation."""
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_chip_parallel_eval_matches_single(tmp_path, nproc):
+    """Two-level eval parallelism for real: a P-process job shards the
+    dataset per process (18 texts -> non-divisible tails at P=4), spreads
+    each batch over its local chips (infer.local_eval_mesh + eval_put),
+    gathers, and the merged logits equal a single-process single-mesh
+    evaluation."""
     import numpy as np
 
-    from uniter_tpu.data import write_img_db, write_txt_db
-
-    rng = np.random.RandomState(0)
-    img_names = [f"im_{i}.npz" for i in range(4)]
-    recs = {n: dict(features=rng.randn(5, 2048).astype(np.float16),
-                    norm_bb=rng.rand(5, 6).astype(np.float16),
-                    conf=np.linspace(1, .5, 5).astype(np.float16),
-                    soft_labels=rng.rand(5, 1601).astype(np.float16))
-            for n in img_names}
-    write_img_db(str(tmp_path / "img"), recs, conf_th=0.2, max_bb=10,
-                 min_bb=3)
-    meta = {"CLS": 2, "SEP": 3, "MASK": 4, "v_range": [6, 400]}
-    trecs, t2i = {}, {}
-    for i in range(16):
-        tid = f"q{i}"
-        trecs[tid] = dict(
-            input_ids=[int(x) for x in rng.randint(6, 400, 7)],
-            img_fname=img_names[i % 4],
-            target={"labels": [int(rng.randint(0, 5))], "scores": [1.0]})
-        t2i[tid] = img_names[i % 4]
-    write_txt_db(str(tmp_path / "txt"), trecs, meta, t2i)
-
-    worker = tmp_path / "eval_worker.py"
-    worker.write_text(EVAL_WORKER)
-    port = str(_free_port())
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), port, str(pid), REPO,
-             str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env)
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    _write_vqa_dbs(tmp_path, n_txt=18)
+    outs = _run_workers(tmp_path, EVAL_WORKER, nproc,
+                        extra_args=[str(tmp_path)], name="eval_worker")
+    for pid, out in enumerate(outs):
         assert f"EVAL_OK {pid}" in out, out
 
     # single-process oracle over the full dataset, default 8-device mesh
     import jax
-    import jax.numpy as jnp
 
-    from uniter_tpu.config import tiny_config
-    from uniter_tpu.data.buckets import BucketSpec
-    from uniter_tpu.data.img_db import DetectFeatDb
     from uniter_tpu.data.loader import BucketLoader
-    from uniter_tpu.data.txt_db import TxtTokDb
-    from uniter_tpu.data.vqa import VqaDataset
-    from uniter_tpu.models.vqa import UniterForVisualQuestionAnswering
     from uniter_tpu.training.infer import eval_put, local_eval_mesh
     from uniter_tpu.training.loop import jnp_batch
 
-    ds = VqaDataset(5, TxtTokDb(str(tmp_path / "txt"), max_txt_len=20),
-                    DetectFeatDb(str(tmp_path / "img"), 0.2, 10, 3, 5))
-    spec = BucketSpec(txt_buckets=(16,), img_buckets=(8,),
-                      token_budget=192, size_mul=8)
+    _, ds, spec, model, params = _vqa_oracle_setup(tmp_path, 0)
     loader = BucketLoader(ds, spec, shuffle=False, drop_last=False)
-    cfg = tiny_config()
-    model = UniterForVisualQuestionAnswering(cfg, img_dim=2048, num_answer=5)
-    init_b = dict(input_ids=jnp.zeros((2, 16), jnp.int32),
-                  position_ids=jnp.zeros((2, 16), jnp.int32),
-                  img_feat=jnp.zeros((2, 8, 2048), jnp.float32),
-                  img_pos_feat=jnp.zeros((2, 8, 7), jnp.float32),
-                  attn_mask=jnp.ones((2, 24), jnp.int32))
-    params = model.init({"params": jax.random.PRNGKey(0)}, init_b, False)[
-        "params"]
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     mesh = local_eval_mesh()
     oracle = {}
@@ -585,10 +503,11 @@ os.environ.pop("XLA_FLAGS", None)
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process, 4 global
+jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process
 port, pid, repo = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+nproc = int(sys.argv[4])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=2, process_id=pid)
+                           num_processes=nproc, process_id=pid)
 sys.path.insert(0, repo)
 import jax.numpy as jnp
 from uniter_tpu.config import tiny_config
@@ -598,7 +517,7 @@ from uniter_tpu.parallel.mesh import (
 from uniter_tpu.training.infer import (
     eval_put, local_eval_mesh, local_eval_params)
 
-mesh_g = make_mesh(MeshConfig(data=-1))   # GLOBAL training mesh (4 devices)
+mesh_g = make_mesh(MeshConfig(data=-1))   # GLOBAL training mesh
 cfg = tiny_config()
 model = UniterForVisualQuestionAnswering(cfg, img_dim=64, num_answer=5)
 rng = np.random.RandomState(0)
@@ -637,24 +556,14 @@ print("GLOBAL_EVAL_OK", pid, flush=True)
 """
 
 
-def test_local_eval_params_two_process_global_and_fsdp(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_local_eval_params_multi_process_global_and_fsdp(tmp_path, nproc):
     """Regression for the global-mesh-params x local-mesh-batch mix: in a
-    2-process job, params committed to the global training mesh
+    P-process job, params committed to the global training mesh
     (replicated AND ZeRO-3-sharded) pass through local_eval_params and
     evaluate against local-mesh batches — including a batch row count the
     local device count does not divide (zero-pad + trim)."""
-    worker = tmp_path / "gp_worker.py"
-    worker.write_text(GLOBAL_PARAMS_EVAL_WORKER)
-    port = str(_free_port())
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), port, str(pid), REPO],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env)
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    outs = _run_workers(tmp_path, GLOBAL_PARAMS_EVAL_WORKER, nproc,
+                        name="gp_worker")
+    for pid, out in enumerate(outs):
         assert f"GLOBAL_EVAL_OK {pid}" in out, out
