@@ -25,7 +25,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[4])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=nproc, process_id=pid)
+                           num_processes=nproc, process_id=pid,
+                           shutdown_timeout_seconds=900)
 sys.path.insert(0, sys.argv[3])
 from uniter_tpu.parallel.collectives import (
     all_gather_list, all_gather_array, barrier, num_processes, process_index)
@@ -76,7 +77,11 @@ def _run_workers(tmp_path, src, nproc, extra_args=(), name="worker"):
             env=env)
         for pid in range(nproc)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    # 1-vCPU hosts: P=4 workers' compiles serialize, so completion skew can
+    # be large — give stragglers room (matches shutdown_timeout_seconds=900
+    # in the worker templates; the 300s default loses the exit barrier when
+    # a fast worker finishes >300s before a contended one).
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
     return outs
@@ -100,7 +105,8 @@ jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process
 port, pid, repo, dbroot = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
 nproc = int(sys.argv[5])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=nproc, process_id=pid)
+                           num_processes=nproc, process_id=pid,
+                           shutdown_timeout_seconds=900)
 sys.path.insert(0, repo)
 import jax.numpy as jnp
 from uniter_tpu.config import tiny_config
@@ -272,7 +278,8 @@ jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process
 port, pid, repo, dbroot = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
 nproc = int(sys.argv[5])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=nproc, process_id=pid)
+                           num_processes=nproc, process_id=pid,
+                           shutdown_timeout_seconds=900)
 sys.path.insert(0, repo)
 import jax.numpy as jnp
 from uniter_tpu.config import tiny_config
@@ -401,7 +408,8 @@ jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process
 port, pid, repo, dbroot = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
 nproc = int(sys.argv[5])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=nproc, process_id=pid)
+                           num_processes=nproc, process_id=pid,
+                           shutdown_timeout_seconds=900)
 sys.path.insert(0, repo)
 import jax.numpy as jnp
 from uniter_tpu.config import tiny_config
@@ -507,7 +515,8 @@ jax.config.update("jax_num_cpu_devices", 2)  # 2 devices/process
 port, pid, repo = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 nproc = int(sys.argv[4])
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                           num_processes=nproc, process_id=pid)
+                           num_processes=nproc, process_id=pid,
+                           shutdown_timeout_seconds=900)
 sys.path.insert(0, repo)
 import jax.numpy as jnp
 from uniter_tpu.config import tiny_config
