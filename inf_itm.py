@@ -76,24 +76,26 @@ def main(opts):
     from uniter_tpu.parallel.collectives import all_gather_list
     from uniter_tpu.training.driver import shard_kw
 
+    # tile over THIS process's chips only — texts are already sharded
+    # across processes (local_eval_mesh rationale). Params commit to the
+    # mesh ONCE: the loaded tree is host numpy and would otherwise
+    # re-upload per tile/minibatch call (the 5k x 1k eval staged 130GB of
+    # param re-transfers and OOM'd the host before this fix).
+    mesh = infer.local_eval_mesh()
+    params = infer.local_eval_params(params, mesh)
+
     if opts.eval_impl == "fast":
-        from uniter_tpu.training.infer import local_eval_mesh
         from uniter_tpu.utils.itm_fast import fast_score_matrix
 
-        # tile over THIS process's chips only — texts are already sharded
-        # across processes (local_eval_mesh rationale)
-        mesh = local_eval_mesh()
         mat, txt_ids = fast_score_matrix(
             model, params, ds, opts.txt_bucket, opts.img_bucket,
             txt_tile=opts.txt_tile, img_tile=opts.img_tile,
             dtype=cfg.dtype, mesh=mesh, **shard_kw())
     else:
-        from uniter_tpu.training.infer import local_eval_mesh
-
         predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
         mat, txt_ids = inference_score_matrix(
             predict, ds, params, opts.txt_bucket, opts.img_bucket,
-            mesh=local_eval_mesh(), **shard_kw())
+            mesh=mesh, **shard_kw())
     parts = all_gather_list((mat, txt_ids))
     mat = np.concatenate([m for m, _ in parts if m.size])
     txt_ids = [t for _, ts in parts for t in ts]

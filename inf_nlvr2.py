@@ -56,6 +56,9 @@ def main(opts):
     # each process's batches spread over its local chips (reference
     # inf_nlvr2.py runs every GPU; texts are already process-sharded)
     mesh = infer.local_eval_mesh()
+    # commit the checkpoint-loaded (numpy) params to the mesh ONCE so the
+    # per-batch jit doesn't re-upload the tree every call
+    params = infer.local_eval_params(params, mesh)
     predict = jax.jit(lambda p, b: model.apply({"params": p}, b, False))
     results = []
     for batch in loader:

@@ -75,6 +75,9 @@ def main(opts):
                  "sampling": jax.random.PRNGKey(1)}, jb0, False)["params"]
             params = infer.load_params(
                 infer.resolve_ckpt(opts.train_dir, opts.ckpt), params)
+            # commit the loaded (numpy) params to the mesh ONCE so the
+            # per-batch jit doesn't re-upload the tree every call
+            params = infer.local_eval_params(params, mesh)
 
         n_correct, n_ex = 0, 0
         predictions = []

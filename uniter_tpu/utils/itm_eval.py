@@ -66,7 +66,23 @@ def inference_score_matrix(predict_fn, eval_dataset, params, t_bucket,
     rows (ex_weight 0 from fixed-size windows, plus any mesh-divisibility
     zero rows) are trimmed from each window's scores.
     """
+    import jax
     import jax.numpy as jnp
+
+    # commit params ONCE: checkpoint-loaded numpy params would otherwise
+    # re-upload the full tree per minibatch (catastrophic on slow
+    # host->device links; see itm_fast.fast_score_matrix's note)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        params = jax.tree.map(
+            lambda x: (jax.device_put(x, rep)
+                       if isinstance(x, np.ndarray) else x), params)
+    else:
+        params = jax.tree.map(
+            lambda x: (jax.device_put(x)
+                       if isinstance(x, np.ndarray) else x), params)
 
     rows = []
     txt_ids = []

@@ -77,6 +77,17 @@ def _pad_rows(a, mult):
     return np.concatenate([a, np.repeat(a[:1], pad, 0)]) if pad else a
 
 
+def _tile_rows(a, i, n):
+    """Row block ``a[i:i+n]`` of a device array, with the 8-byte slice
+    index-scalar upload exempted from any caller transfer guard (the
+    scoring loops run under ``disallow`` in tests to prove the params and
+    corpus are never re-uploaded per call; jit dispatch stays guarded)."""
+    import jax
+
+    with jax.transfer_guard_host_to_device("allow"):
+        return a[i:i + n]
+
+
 class _Scorer:
     """Scoring-path modules + param split for one trained retrieval model.
 
@@ -109,12 +120,16 @@ class _Scorer:
         self.cls_layer = BertLayerCLS(cfg)
         if self.split:
             stack = params["uniter"]["encoder"]["layer"]["bert_layer"]
-            body_enc = {"layer": {"bert_layer": jax.tree_util.tree_map(
-                lambda x: x[:n_layers - 1], dict(stack))}}
-            self.trunk_params = {**dict(params["uniter"]),
-                                 "encoder": body_enc}
-            self.last_params = jax.tree_util.tree_map(
-                lambda x: x[n_layers - 1], dict(stack))
+            # one-time setup slicing: eager indexing ships its start
+            # scalars to device, which callers running the scoring LOOP
+            # under a host->device transfer guard must not see flagged
+            with jax.transfer_guard_host_to_device("allow"):
+                body_enc = {"layer": {"bert_layer": jax.tree_util.tree_map(
+                    lambda x: x[:n_layers - 1], dict(stack))}}
+                self.trunk_params = {**dict(params["uniter"]),
+                                     "encoder": body_enc}
+                self.last_params = jax.tree_util.tree_map(
+                    lambda x: x[n_layers - 1], dict(stack))
         else:
             self.trunk_params = dict(params["uniter"])
             self.last_params = None
@@ -268,8 +283,15 @@ def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
     def put(a, sh):
         return jax.device_put(a, sh) if sh is not None else jax.device_put(a)
 
+    # commit params ONCE (replicated): checkpoint-loaded params arrive as
+    # host numpy and would otherwise re-upload the full tree on EVERY tile
+    # call — at 5k x 1k that is ~1256 tiles x ~full-model bytes through the
+    # host->device link (observed: 130GB of host staging, OOM) instead of
+    # one placement. Device-resident leaves pass through untouched.
+    params = jax.tree.map(
+        lambda x: put(x, rep) if isinstance(x, np.ndarray) else x, params)
     scorer = _Scorer(model, params)
-    d_txt = put(jnp.asarray(t_sel), txt_sh)
+    d_txt = put(t_sel, txt_sh)
     d_tmask = put(
         (np.arange(t_bucket)[None] < tlen_sel[:, None]).astype(np.int32),
         txt_sh)
@@ -285,11 +307,11 @@ def fast_score_matrix(model, params, eval_ds, t_bucket, r_bucket, *,
     out = np.zeros((t_sel.shape[0], nbb_p.shape[0]), np.float32)
     for ti in range(0, t_sel.shape[0], ct):
         # each text tile embedded once, reused across every image tile
-        t_emb = scorer.embed_txt(d_txt[ti:ti + ct])
+        t_emb = scorer.embed_txt(_tile_rows(d_txt, ti, ct))
         for ij in range(0, nbb_p.shape[0], ci):
             out[ti:ti + ct, ij:ij + ci] = np.asarray(tile_jit(
-                t_emb, d_tmask[ti:ti + ct],
-                d_img_emb[ij:ij + ci], d_imask[ij:ij + ci]))
+                t_emb, _tile_rows(d_tmask, ti, ct),
+                _tile_rows(d_img_emb, ij, ci), _tile_rows(d_imask, ij, ci)))
     mat = out[:n_txt, :n_img]
     return mat, [eval_ds.ids[i] for i in my_rows]
 
@@ -341,8 +363,11 @@ def fast_windowed_scores(model, params, val_ds, t_bucket, r_bucket, *,
     def put(a, sh):
         return jax.device_put(a, sh) if sh is not None else jax.device_put(a)
 
+    # commit params once — same contract as fast_score_matrix
+    params = jax.tree.map(
+        lambda x: put(x, rep) if isinstance(x, np.ndarray) else x, params)
     scorer = _Scorer(model, params)
-    d_txt = put(jnp.asarray(t_sel), txt_sh)
+    d_txt = put(t_sel, txt_sh)
     d_tmask = put(
         (np.arange(t_bucket)[None] < tlen_sel[:, None]).astype(np.int32),
         txt_sh)
@@ -350,16 +375,16 @@ def fast_windowed_scores(model, params, val_ds, t_bucket, r_bucket, *,
     d_imask = put(
         (np.arange(r_bucket)[None] < img_nbb[:, None]).astype(np.int32),
         rep)
-    d_img_emb = scorer.embed_img_corpus(
+    d_img_emb = _tile_rows(scorer.embed_img_corpus(
         img_feat.astype(cdt), img_pos.astype(cdt), max(n_img, 1),
-        lambda a: put(a, rep))[:n_img]
+        lambda a: put(a, rep)), 0, n_img)
 
     ct = txt_chunk
     chunk_jit = scorer.window_fn(bs)
     out = np.zeros((t_sel.shape[0], bs), np.float32)
     for ci in range(0, t_sel.shape[0], ct):
-        t_emb = scorer.embed_txt(d_txt[ci:ci + ct])
+        t_emb = scorer.embed_txt(_tile_rows(d_txt, ci, ct))
         out[ci:ci + ct] = np.asarray(chunk_jit(
-            t_emb, d_tmask[ci:ci + ct], d_win[ci:ci + ct],
+            t_emb, _tile_rows(d_tmask, ci, ct), _tile_rows(d_win, ci, ct),
             d_img_emb, d_imask))
     return out[:n_txt], [val_ds.ids[i] for i in my_rows]
