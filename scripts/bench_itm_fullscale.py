@@ -78,6 +78,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny trunk for CPU plumbing smoke runs")
+    ap.add_argument("--out", default="/tmp/itm_fullscale.json",
+                    help="JSONL record sink (appended)")
     ap.add_argument("--keep", action="store_true")
     opts = ap.parse_args()
 
@@ -162,7 +164,7 @@ def main():
         )
         line = json.dumps(rec)
         print(line, flush=True)
-        with open("/tmp/itm_fullscale.json", "a") as f:
+        with open(opts.out, "a") as f:
             f.write(line + "\n")
     finally:
         if not opts.keep:

@@ -16,8 +16,11 @@ memorization; ITM/RE bind a text token to an image/region marker, so the
 model must learn a cross-modal pointer.
 """
 
+import functools
 import json
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -26,6 +29,48 @@ pytestmark = pytest.mark.e2e  # slow CLI-driver pipeline: -m 'not e2e' skips
 
 IMG_DIM = 2048
 META = {"CLS": 101, "SEP": 102, "MASK": 103, "v_range": [104, 300]}
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def single_device_subprocess(fn):
+    """Re-run this test in a fresh 1-device pytest subprocess.
+
+    The hundreds-of-steps learning runs wedge NONDETERMINISTICALLY on the
+    shared in-process 8-device virtual mesh: XLA:CPU's in-process
+    collective rendezvous loses wakeups on oversubscribed hosts and
+    rendezvous.cc SIGABRTs the whole pytest process after its 40s
+    termination timeout. First observed on collective-permute programs
+    (HN mining gather), then on a plain all-reduce DP train step
+    (test_learn_vqa, r5) — so ALL long learning runs isolate to a
+    1-device mesh (no collectives -> no rendezvous; conftest.py respects
+    a pre-set device count). Multi-device coverage of the same drivers
+    stays with the short-run smoke e2e tests, test_multiprocess, and
+    __graft_entry__'s dryrun; these tests prove learning dynamics, where
+    the device count is irrelevant.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(tmp_path):
+        if os.environ.get("UNITER_LEARN_ISOLATED") == "1":
+            return fn(tmp_path)
+        env = dict(os.environ)
+        env.update(
+            UNITER_LEARN_ISOLATED="1",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            PYTHONPATH="",
+        )
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             f"{os.path.abspath(__file__)}::{fn.__name__}",
+             "-q", "-x", "-p", "no:cacheprovider"],
+            env=env, capture_output=True, text=True, timeout=2400,
+            cwd=_REPO)
+        assert proc.returncode == 0, (
+            proc.stdout[-3000:] + "\n" + proc.stderr[-2000:])
+
+    return wrapper
 
 
 def _model_cfg(root, vocab=300, hidden=48):
@@ -66,6 +111,7 @@ def _img_record(rng, nbb, features):
 # ---------------------------------------------------------------- NLVR2
 
 
+@single_device_subprocess
 def test_learn_nlvr2(tmp_path):
     """Label = whether the LEFT image carries the marker; text constant.
     train_nlvr2 -> inf_nlvr2 -> accuracy >= 0.95 on the train set."""
@@ -128,6 +174,7 @@ def test_learn_nlvr2(tmp_path):
 # ------------------------------------------------------------------ VQA
 
 
+@single_device_subprocess
 def test_learn_vqa(tmp_path):
     """Answer = the image's one-hot class marker; text constant.
     train_vqa -> inf_vqa -> accuracy >= 0.95 on the train set."""
@@ -192,14 +239,11 @@ def test_learn_itm_hard_negatives(tmp_path):
     carries a one-hot feature marker at dim (20+i). The HN driver must
     learn matched-vs-mismatched; inf_itm R@1 >= 0.9 both directions.
 
-    Runs in a SUBPROCESS on a single-device mesh: the in-jit mining gather
-    (models/itm.py top_k + take over the sharded candidate axis) lowers to
-    collective-permute, and XLA:CPU's in-process collective-permute
-    rendezvous wedges nondeterministically on long runs on oversubscribed
-    hosts (rendezvous.cc 40s termination abort; observed at both 8- and
-    4-device virtual meshes; all-reduce-only steps are unaffected). The
-    multi-device HN path stays covered by the short-run smoke e2e tests
-    and __graft_entry__'s dryrun."""
+    Runs in a SUBPROCESS on a single-device mesh (the
+    single_device_subprocess rationale; this test pre-dates the decorator
+    with a bespoke worker because it chains two CLI drivers and parses
+    the R@K line from stdout). The multi-device HN path stays covered by
+    the short-run smoke e2e tests and __graft_entry__'s dryrun."""
     from uniter_tpu.data import write_img_db, write_txt_db
 
     rng = np.random.RandomState(0)
@@ -273,6 +317,7 @@ print("HN_LOGS " + json.dumps(logs))
 # ------------------------------------------------------------------- RE
 
 
+@single_device_subprocess
 def test_learn_re(tmp_path):
     """Cross-modal pointer: the sentence's token (110+k) names region k,
     region k carries a one-hot marker at dim (100+k) and a disjoint
@@ -363,6 +408,7 @@ def test_learn_re(tmp_path):
 # ------------------------------------------------------------- pretrain
 
 
+@single_device_subprocess
 def test_learn_pretrain_mlm_itm(tmp_path):
     """Mixed-task pretraining learns: MLM val loss drops below half its
     init, ITM val accuracy reaches >= 0.85 (reference pretrain.py's
@@ -399,7 +445,12 @@ def test_learn_pretrain_mlm_itm(tmp_path):
             "--output_dir", str(tmp_path / "out"),
             "--train_batch_size", "512", "--val_batch_size", "512",
             "--num_train_steps", str(steps), "--valid_steps", "100000",
-            "--warmup_steps", "10", "--learning_rate", "1e-3",
+            # the mix was tuned at 1e-3 on the 8-device mesh, where
+            # loss_scale="sum" scales the DP gradient by dp; at dp=1 the
+            # ITM head needs a larger LR to converge in 800 steps (8e-3,
+            # the exact dp=8 step size, destabilizes MLM — 3e-3 trains
+            # both)
+            "--warmup_steps", "10", "--learning_rate", "3e-3",
             "--dropout", "0", "--max_bb", "10", "--min_bb", "3",
             "--dtype", "float32", "--seed", "1", "--itm_ot_lambda", "0",
         ]

@@ -149,6 +149,12 @@ def loss_fn(p, b, r):
 step = make_train_step(loss_fn, mesh=mesh, loss_scale="mean", donate=False)
 it = iter(loader)
 losses = []
+# line up the workers right before the first step: its execution creates
+# the Gloo context under a hardcoded 30s rendezvous deadline, and init +
+# trace skew on an oversubscribed host can exceed that (observed at P=4
+# under full-suite load). The gRPC barrier bounds start-time skew to ms.
+from uniter_tpu.parallel.collectives import barrier
+barrier("pre_step")
 for _ in range(3):
     batch = next(it)
     assert batch["input_ids"].shape[0] == 8 // nproc  # local block

@@ -61,8 +61,30 @@ def all_gather_array(x: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x))
 
 
-def barrier(name: str = "barrier"):
+_BARRIER_SEQ = iter(range(1 << 62))
+
+
+def barrier(name: str = "barrier", timeout_s: float = 600.0):
+    """Host-level barrier (reference hvd barrier semantics,
+    utils/distributed.py usage in every driver).
+
+    Uses the coordination service's gRPC barrier, NOT a device
+    collective: a sync_global_devices barrier compiles and runs a psum,
+    and XLA:CPU's Gloo context rendezvous carries a hardcoded 30s
+    deadline — under large worker skew (staggered compiles on
+    oversubscribed hosts) the barrier itself can DEADLINE_EXCEEDED. The
+    gRPC barrier takes an explicit timeout and no compilation. Barrier
+    calls must occur in the same order on every process (already the
+    collective contract) — the shared sequence number makes each call
+    site a unique barrier id, as the service requires."""
     if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(f"uniter:{name}:{next(_BARRIER_SEQ)}",
+                               int(timeout_s * 1000))
         return
     from jax.experimental import multihost_utils
 
